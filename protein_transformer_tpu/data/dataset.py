@@ -1,0 +1,267 @@
+"""Host-side data pipeline: binned length-bucketed batching with static shapes.
+
+Reimplements the reference's data semantics (reference: dataset.py:13-290) for
+an XLA-compiled training step:
+
+* ``BinnedDataset``: histogram-binned protein dataset
+  (BinnedProteinDataset, dataset.py:103-158) -- same np.histogram bins, same
+  bin probabilities, same skip-missing-residue filter.
+* ``binned_batch_sampler``: bin-then-random batches with a dynamic residue
+  budget (SimilarLengthBatchSampler, dataset.py:161-225). The reference's
+  CPU-count batch rounding (dataset.py:215-218) is dropped: there is no CPU
+  worker pool to feed (SURVEY 2.4).
+* ``collate``: instead of NaN/zero padding conventions, batches carry clean
+  float arrays plus explicit boolean masks, padded to a *bucketed* (B, L)
+  shape lattice so XLA compiles a handful of shapes instead of one per batch.
+
+Data-at-rest formats: the reference's torch ``.pt`` dict (README.md:241-254
+schema) via ``load_reference_pt``, or this framework's native ``.npz`` shard
+layout via ``data.convert``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from protein_transformer_tpu.protein.constants import (
+    MAX_SEQ_LEN, NUM_PREDICTED_ANGLES, NUM_PREDICTED_COORDS)
+from protein_transformer_tpu.protein.vocab import VOCAB
+
+VALID_SPLITS = (10, 20, 30, 40, 50, 70, 90)
+ALL_SPLITS = ("train",) + tuple(f"valid-{s}" for s in VALID_SPLITS) + ("test",)
+
+
+@dataclasses.dataclass
+class Batch:
+    """One padded batch with explicit masks (all numpy, host-side)."""
+    seq: np.ndarray          # (B, L) int32, pad_id at padding
+    ang: np.ndarray          # (B, L, 24) float32, zeros where masked
+    ang_mask: np.ndarray     # (B, L, 24) bool: target angle element exists
+    crd: np.ndarray          # (B, L, 14, 3) float32, zeros where masked
+    crd_mask: np.ndarray     # (B, L, 14) bool: true atom exists
+    protein_mask: np.ndarray  # (B,) bool: row is a real protein
+    n_res: int               # number of real residues (throughput metric)
+
+
+class ProteinSplit:
+    """One split: ragged lists of (seq string, angles (L,24), coords (L*14,3)).
+
+    Angles/coords use the reference's storage conventions (NaN = missing).
+    """
+
+    def __init__(self, seqs, angs, crds, ids=None,
+                 skip_missing_residues=True, max_seq_len=MAX_SEQ_LEN):
+        self.seqs, self.angs, self.crds, self.ids = [], [], [], []
+        ids = ids if ids is not None else [f"p{i}" for i in range(len(seqs))]
+        for i in range(len(seqs)):
+            ang = np.asarray(angs[i], np.float32)
+            # skip proteins with fully-missing residues (dataset.py:69,117)
+            if skip_missing_residues and np.isnan(ang).all(axis=-1).any():
+                continue
+            self.seqs.append(seqs[i])
+            self.angs.append(ang)
+            self.crds.append(np.asarray(crds[i], np.float32))
+            self.ids.append(ids[i])
+        self.lens = np.array(
+            [min(len(s), max_seq_len) for s in self.seqs], np.int64)
+        self.max_seq_len = max_seq_len
+
+    def __len__(self):
+        return len(self.seqs)
+
+
+class BinnedDataset(ProteinSplit):
+    """Adds length-histogram bins (BinnedProteinDataset, dataset.py:103-158)."""
+
+    def __init__(self, *args, bins="auto", **kwargs):
+        super().__init__(*args, **kwargs)
+        self.hist_counts, edges = np.histogram(self.lens, bins=bins)
+        self.hist_bins = edges[1:]  # right edge of each bin: '( , ]'
+        self.bin_probs = self.hist_counts / max(self.hist_counts.sum(), 1)
+        self.bin_map: dict[int, list[int]] = {}
+        # dataset is not necessarily length-sorted here; assign by value
+        for i, ln in enumerate(self.lens):
+            b = int(np.searchsorted(self.hist_bins, ln, side="left"))
+            b = min(b, len(self.hist_bins) - 1)
+            self.bin_map.setdefault(b, []).append(i)
+
+
+def binned_batch_sampler(ds: BinnedDataset, batch_size: int,
+                         dynamic_batch: Optional[int],
+                         rng: np.random.Generator,
+                         downsample: Optional[float] = None,
+                         use_largest_bin: bool = False,
+                         repeat_train: int = 1) -> Iterator[np.ndarray]:
+    """Yields arrays of dataset indices, one batch at a time.
+
+    Parity: SimilarLengthBatchSampler (dataset.py:187-225) minus CPU-count
+    rounding. dynamic_batch is the residue budget (batch_size * MAX_SEQ_LEN
+    in the reference, dataset.py:249).
+    """
+    if dynamic_batch:
+        n_batches = int(np.ceil(ds.lens.sum() * repeat_train
+                                * (downsample or 1.0) / dynamic_batch))
+    else:
+        n_batches = int(np.ceil(len(ds) * repeat_train
+                                * (downsample or 1.0) / batch_size))
+    bins_with_items = [b for b in range(len(ds.hist_bins)) if ds.bin_map.get(b)]
+    probs = np.array([ds.bin_probs[b] for b in bins_with_items])
+    probs = probs / probs.sum()
+    for _ in range(n_batches):
+        if use_largest_bin:
+            b = bins_with_items[-1]
+        else:
+            b = rng.choice(bins_with_items, p=probs)
+        if dynamic_batch:
+            this_bs = max(1, int(dynamic_batch / ds.hist_bins[b]))
+        else:
+            this_bs = batch_size
+        yield rng.choice(ds.bin_map[b], size=this_bs)
+
+
+def bucket_length(length: int, buckets: Sequence[int], max_len: int) -> int:
+    """Smallest bucket >= length (clamped to max_len)."""
+    length = min(length, max_len)
+    for b in buckets:
+        if b >= length:
+            return min(b, max_len)
+    return max_len
+
+
+def bucket_batch_size(n: int, buckets=(1, 2, 4, 8, 16, 24, 32, 48, 64, 96,
+                                       128, 192, 256, 384, 512)) -> int:
+    """Smallest batch bucket >= n (rows beyond n are masked dummies)."""
+    for b in buckets:
+        if b >= n:
+            return b
+    return n
+
+
+def collate(split: ProteinSplit, indices: np.ndarray,
+            length_buckets: Sequence[int], max_seq_len: int = MAX_SEQ_LEN,
+            add_sos_eos: bool = False,
+            pad_batch: bool = True) -> Batch:
+    """Assemble a static-shape masked batch from dataset rows.
+
+    Mask semantics replicate the reference's conventions (dataset.py:26-54,
+    losses.py:63-76,208-214): residues beyond a protein's length are batch
+    padding; NaN angle entries / NaN atom coordinates are missing data.
+    sos/eos note: the reference encodes enc-dec sos/eos as unk tokens
+    (Sequence.py:29-33); here they are omitted entirely -- they carry no
+    information and would break the static residue<->angle alignment.
+    """
+    lens = [min(int(split.lens[i]), max_seq_len) for i in indices]
+    lmax = bucket_length(max(lens), length_buckets, max_seq_len)
+    b_real = len(indices)
+    b = bucket_batch_size(b_real) if pad_batch else b_real
+
+    seq = np.full((b, lmax), VOCAB.pad_id, np.int32)
+    ang = np.zeros((b, lmax, NUM_PREDICTED_ANGLES * 2), np.float32)
+    ang_mask = np.zeros((b, lmax, NUM_PREDICTED_ANGLES * 2), bool)
+    crd = np.zeros((b, lmax, NUM_PREDICTED_COORDS, 3), np.float32)
+    crd_mask = np.zeros((b, lmax, NUM_PREDICTED_COORDS), bool)
+    protein_mask = np.zeros((b,), bool)
+
+    for row, idx in enumerate(indices):
+        li = lens[row]
+        s = split.seqs[idx][:li]
+        seq[row, :li] = [VOCAB[c] for c in s]
+        a = split.angs[idx][:li]
+        ang[row, :li] = np.nan_to_num(a)
+        ang_mask[row, :li] = ~np.isnan(a)
+        c = split.crds[idx][: li * NUM_PREDICTED_COORDS].reshape(
+            li, NUM_PREDICTED_COORDS, 3)
+        nanmask = np.isnan(c).any(-1)
+        crd[row, :li] = np.nan_to_num(c)
+        crd_mask[row, :li] = ~nanmask
+        protein_mask[row] = True
+    return Batch(seq, ang, ang_mask, crd, crd_mask, protein_mask,
+                 n_res=int(sum(lens)))
+
+
+def load_reference_pt(path: str) -> dict:
+    """Load a reference-schema torch .pt dataset dict (README.md:241-254)."""
+    import torch
+    return torch.load(path, weights_only=False)
+
+
+def load_native(path: str) -> dict:
+    """Load the native .npz shard directory (see data/convert.py)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    data = {"settings": manifest["settings"], "date": manifest.get("date")}
+    for split in manifest["splits"]:
+        z = np.load(os.path.join(path, f"{split}.npz"), allow_pickle=False)
+        offs = z["offsets"]
+        seqs = [str(s) for s in z["seqs"]]
+        angs = [z["ang"][offs[i]:offs[i + 1]] for i in range(len(seqs))]
+        crds = [z["crd"][offs[i] * NUM_PREDICTED_COORDS:
+                         offs[i + 1] * NUM_PREDICTED_COORDS]
+                for i in range(len(seqs))]
+        data[split] = {"seq": seqs, "ang": angs, "crd": crds,
+                       "ids": [str(s) for s in z["ids"]]}
+    return data
+
+
+def load_dataset(path: str) -> dict:
+    if os.path.isdir(path):
+        return load_native(path)
+    return load_reference_pt(path)
+
+
+class DataModule:
+    """Splits + sampling + collation for the trainer."""
+
+    def __init__(self, data: dict, cfg):
+        self.cfg = cfg
+        settings = data.get("settings", {})
+        self.angle_means = np.asarray(
+            settings.get("angle_means",
+                         np.zeros(NUM_PREDICTED_ANGLES * 2)), np.float32)
+        self.max_seq_len = min(int(settings.get("max_len", cfg.max_seq_len))
+                               if settings.get("max_len") else cfg.max_seq_len,
+                               cfg.max_seq_len)
+        bins = "auto" if cfg.bins == -1 else cfg.bins
+        self.train = BinnedDataset(
+            data["train"]["seq"], data["train"]["ang"], data["train"]["crd"],
+            ids=data["train"].get("ids"),
+            skip_missing_residues=cfg.skip_missing_res_train,
+            max_seq_len=self.max_seq_len, bins=bins)
+        self.eval_splits: dict[str, ProteinSplit] = {}
+        for split in ALL_SPLITS[1:]:
+            if split in data:
+                self.eval_splits[split] = ProteinSplit(
+                    data[split]["seq"], data[split]["ang"],
+                    data[split]["crd"], ids=data[split].get("ids"),
+                    skip_missing_residues=cfg.skip_missing_res_train,
+                    max_seq_len=self.max_seq_len)
+
+    def train_batches(self, rng: np.random.Generator) -> Iterator[Batch]:
+        cfg = self.cfg
+        sampler = binned_batch_sampler(
+            self.train, cfg.batch_size,
+            dynamic_batch=cfg.batch_size * self.max_seq_len,
+            rng=rng, repeat_train=cfg.repeat_train)
+        for idx in sampler:
+            yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len)
+
+    def train_eval_batches(self, rng: np.random.Generator) -> Iterator[Batch]:
+        """Fixed-size batches over a downsampled train set (dataset.py:253-263)."""
+        cfg = self.cfg
+        sampler = binned_batch_sampler(
+            self.train, cfg.batch_size, dynamic_batch=None, rng=rng,
+            downsample=cfg.train_eval_downsample)
+        for idx in sampler:
+            yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len)
+
+    def eval_batches(self, split: str) -> Iterator[Batch]:
+        ds = self.eval_splits[split]
+        cfg = self.cfg
+        order = np.argsort(-ds.lens)  # length-sorted like the reference loader
+        for start in range(0, len(ds), cfg.batch_size):
+            idx = order[start:start + cfg.batch_size]
+            yield collate(ds, idx, cfg.bucket_sizes, self.max_seq_len)

@@ -169,11 +169,14 @@ def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
 
 
 def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
-                        seq: jax.Array, atom_mask: jax.Array) -> DrmsdResults:
+                        seq: jax.Array, atom_mask: jax.Array,
+                        protein_mask: jax.Array | None = None) -> DrmsdResults:
     """Batch-mean dRMSD family losses, differentiable end-to-end.
 
     pred_sincos: (B, L, 24) model output; true_crd: (B, L, 14, 3) with
-    missing atoms zero-filled; seq: (B, L) AA ids; atom_mask: (B, L, 14).
+    missing atoms zero-filled; seq: (B, L) AA ids; atom_mask: (B, L, 14);
+    protein_mask: optional (B,) bool marking real rows -- padded dummy rows
+    (added for static batch shapes) are excluded from the batch mean.
 
     Replaces the reference's CPU-pool gradient stitching
     (losses.py:133-172): angles -> coordinates (on-device NeRF) -> masked
@@ -183,8 +186,13 @@ def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
     pred_crd = build_coords_batch(angles, seq)
     full, ln, bb, ln_bb = jax.vmap(_per_protein_drmsd)(
         pred_crd, true_crd, atom_mask)
-    return DrmsdResults(jnp.mean(full), jnp.mean(ln),
-                        jnp.mean(bb), jnp.mean(ln_bb))
+    if protein_mask is None:
+        mean = jnp.mean
+    else:
+        w = protein_mask.astype(full.dtype)
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        mean = lambda v: jnp.sum(v * w) / denom
+    return DrmsdResults(mean(full), mean(ln), mean(bb), mean(ln_bb))
 
 
 def combine_drmsd_mse(d: jax.Array, mse: jax.Array, w: float = 0.5,
