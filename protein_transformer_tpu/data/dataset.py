@@ -47,6 +47,16 @@ class Batch:
     n_res: int               # number of real residues (throughput metric)
 
 
+# Registered as a pytree so a Batch can be a jit argument directly.
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_dataclass(
+    Batch,
+    data_fields=["seq", "ang", "ang_mask", "crd", "crd_mask", "protein_mask",
+                 "n_res"],
+    meta_fields=[])
+
+
 class ProteinSplit:
     """One split: ragged lists of (seq string, angles (L,24), coords (L*14,3)).
 
@@ -132,19 +142,24 @@ def bucket_length(length: int, buckets: Sequence[int], max_len: int) -> int:
     return max_len
 
 
-def bucket_batch_size(n: int, buckets=(1, 2, 4, 8, 16, 24, 32, 48, 64, 96,
-                                       128, 192, 256, 384, 512)) -> int:
-    """Smallest batch bucket >= n (rows beyond n are masked dummies)."""
+def bucket_batch_size(n: int, multiple: int = 1,
+                      buckets=(1, 2, 4, 8, 16, 24, 32, 48, 64, 96,
+                               128, 192, 256, 384, 512)) -> int:
+    """Smallest batch bucket >= n that is a multiple of `multiple`.
+
+    Rows beyond n are masked dummies; `multiple` is the data-parallel mesh
+    axis size (batches shard evenly over devices).
+    """
     for b in buckets:
-        if b >= n:
+        if b >= n and b % multiple == 0:
             return b
-    return n
+    return ((n + multiple - 1) // multiple) * multiple
 
 
 def collate(split: ProteinSplit, indices: np.ndarray,
             length_buckets: Sequence[int], max_seq_len: int = MAX_SEQ_LEN,
             add_sos_eos: bool = False,
-            pad_batch: bool = True) -> Batch:
+            pad_batch: bool = True, batch_multiple: int = 1) -> Batch:
     """Assemble a static-shape masked batch from dataset rows.
 
     Mask semantics replicate the reference's conventions (dataset.py:26-54,
@@ -157,7 +172,8 @@ def collate(split: ProteinSplit, indices: np.ndarray,
     lens = [min(int(split.lens[i]), max_seq_len) for i in indices]
     lmax = bucket_length(max(lens), length_buckets, max_seq_len)
     b_real = len(indices)
-    b = bucket_batch_size(b_real) if pad_batch else b_real
+    b = (bucket_batch_size(b_real, batch_multiple)
+         if pad_batch else b_real)
 
     seq = np.full((b, lmax), VOCAB.pad_id, np.int32)
     ang = np.zeros((b, lmax, NUM_PREDICTED_ANGLES * 2), np.float32)
@@ -216,8 +232,9 @@ def load_dataset(path: str) -> dict:
 class DataModule:
     """Splits + sampling + collation for the trainer."""
 
-    def __init__(self, data: dict, cfg):
+    def __init__(self, data: dict, cfg, batch_multiple: int = 1):
         self.cfg = cfg
+        self.batch_multiple = batch_multiple
         settings = data.get("settings", {})
         self.angle_means = np.asarray(
             settings.get("angle_means",
@@ -247,7 +264,8 @@ class DataModule:
             dynamic_batch=cfg.batch_size * self.max_seq_len,
             rng=rng, repeat_train=cfg.repeat_train)
         for idx in sampler:
-            yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len)
+            yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len,
+                          batch_multiple=self.batch_multiple)
 
     def train_eval_batches(self, rng: np.random.Generator) -> Iterator[Batch]:
         """Fixed-size batches over a downsampled train set (dataset.py:253-263)."""
@@ -256,7 +274,8 @@ class DataModule:
             self.train, cfg.batch_size, dynamic_batch=None, rng=rng,
             downsample=cfg.train_eval_downsample)
         for idx in sampler:
-            yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len)
+            yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len,
+                          batch_multiple=self.batch_multiple)
 
     def eval_batches(self, split: str) -> Iterator[Batch]:
         ds = self.eval_splits[split]
@@ -264,4 +283,5 @@ class DataModule:
         order = np.argsort(-ds.lens)  # length-sorted like the reference loader
         for start in range(0, len(ds), cfg.batch_size):
             idx = order[start:start + cfg.batch_size]
-            yield collate(ds, idx, cfg.bucket_sizes, self.max_seq_len)
+            yield collate(ds, idx, cfg.bucket_sizes, self.max_seq_len,
+                          batch_multiple=self.batch_multiple)

@@ -139,7 +139,11 @@ def drmsd_masked(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
     atoms of a single protein.
     """
     s, c = _drmsd_stats(a, b, mask)
-    return jnp.sqrt(s / jnp.maximum(c, 1.0))
+    # clamp before sqrt: at s == 0 (identical/empty point sets -- e.g. padded
+    # dummy batch rows) sqrt's infinite slope would emit NaN cotangents even
+    # under zero downstream weights. The 1e-15 value floor is far below any
+    # physical dRMSD.
+    return jnp.sqrt(jnp.maximum(s / jnp.maximum(c, 1.0), _DIST_CLAMP))
 
 
 class DrmsdResults(NamedTuple):
@@ -203,6 +207,44 @@ def combine_drmsd_mse(d: jax.Array, mse: jax.Array, w: float = 0.5,
     Parity: losses.combine_drmsd_mse (losses.py:15-23).
     """
     return w * (d / lndrmsd_norm) + (1 - w) * (mse / mse_norm)
+
+
+def kabsch_rmsd_masked(a: jax.Array, b: jax.Array, w: jax.Array) -> jax.Array:
+    """On-device superposition RMSD of masked point sets (eval metric).
+
+    a, b: (N, 3); w: (N,) 0/1 weights. Weighted Kabsch: align a onto b over
+    the selected points and return their RMSD. Replaces the reference's
+    host-side ProDy call (losses.py:281-286) with a jit-friendly 3x3 SVD.
+    """
+    w = w.astype(a.dtype)
+    total = jnp.maximum(jnp.sum(w), 1.0)
+    am = jnp.sum(a * w[:, None], 0) / total
+    bm = jnp.sum(b * w[:, None], 0) / total
+    ac = (a - am) * w[:, None]
+    bc = (b - bm) * w[:, None]
+    h = jnp.matmul(ac.T, bc, precision=_HIGHEST)
+    u, _s, vt = jnp.linalg.svd(h)
+    d = jnp.sign(jnp.linalg.det(jnp.matmul(u, vt, precision=_HIGHEST)))
+    rot = jnp.matmul(u * jnp.array([1.0, 1.0, 1.0], a.dtype).at[2].set(d),
+                     vt, precision=_HIGHEST)
+    aligned = jnp.matmul(a - am, rot, precision=_HIGHEST)
+    diff = (aligned - (b - bm)) * w[:, None]
+    return jnp.sqrt(jnp.sum(diff ** 2) / total)
+
+
+def batch_rmsd_jax(pred_crd: jax.Array, true_crd: jax.Array,
+                   atom_mask: jax.Array,
+                   protein_mask: jax.Array | None = None) -> jax.Array:
+    """Mean per-protein masked superposition RMSD over a batch (on device)."""
+    b = pred_crd.shape[0]
+    a = pred_crd.reshape(b, -1, 3)
+    t = true_crd.reshape(b, -1, 3)
+    m = atom_mask.reshape(b, -1)
+    vals = jax.vmap(kabsch_rmsd_masked)(a, t, m)
+    if protein_mask is None:
+        return jnp.mean(vals)
+    w = protein_mask.astype(vals.dtype)
+    return jnp.sum(vals * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def kabsch_rmsd(a: np.ndarray, b: np.ndarray) -> float:

@@ -1,0 +1,60 @@
+"""Device mesh + sharding helpers (SPMD).
+
+The reference is single-process/single-device; its only parallelism is a CPU
+worker pool for the dRMSD loss (reference: train.py:360-365, SURVEY 2.4).
+Here scaling is SPMD over a ``jax.sharding.Mesh``: parameters and optimizer
+state replicated, batches sharded over the 'data' axis, gradient psums
+inserted by the compiler and riding ICI. A 'model' axis is reserved in the
+mesh-shape config for tensor-parallel sharding of large dm configs.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Sequence[int] = (-1,),
+              axes: Sequence[str] = ("data",),
+              devices=None) -> Mesh:
+    """Build a mesh over available devices; -1 infers that axis size."""
+    devices = devices if devices is not None else jax.devices()
+    shape = list(shape)
+    n = len(devices)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        shape[shape.index(-1)] = n // known
+    total = int(np.prod(shape))
+    mesh_devices = np.asarray(devices[:total]).reshape(shape)
+    return Mesh(mesh_devices, tuple(axes))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Optional[Mesh]):
+    """Device-put a host Batch with the leading axis sharded over 'data'."""
+    import dataclasses
+    if mesh is None:
+        return batch
+    sh = batch_sharding(mesh)
+    put = lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x
+    return dataclasses.replace(
+        batch, **{f.name: put(getattr(batch, f.name))
+                  for f in dataclasses.fields(batch)
+                  if hasattr(getattr(batch, f.name), "shape")})
+
+
+def replicate_tree(tree, mesh: Optional[Mesh]):
+    if mesh is None:
+        return tree
+    sh = replicated(mesh)
+    return jax.device_put(tree, sh)

@@ -1,0 +1,136 @@
+"""Metrics accounting and CSV logging (reference: log.py:115-495).
+
+Same metric names and semantics as the reference's in-memory metrics dict:
+per-mode ``batch-*`` / ``epoch-*`` values for drmsd/lndrmsd/mse (full, bb,
+sc), combined, rmsd, residues/sec speed, per-epoch histories; CSV rows in the
+reference's column order (log.py:488-495: drmsd, ln_drmsd, rmse, rmsd,
+[combined], lr, mode, granularity, time, speed). MSE is recorded as MSE and
+reported as RMSE (log.py:1-4). wandb logging is optional and isolated here.
+"""
+from __future__ import annotations
+
+import csv
+import time
+from typing import Optional
+
+import numpy as np
+
+LOSS_KEYS = ("drmsd-full", "lndrmsd-full", "mse-full", "combined-full",
+             "rmsd-full", "drmsd-bb", "lndrmsd-bb", "mse-bb", "mse-sc")
+
+
+def init_metrics(modes) -> dict:
+    metrics = {
+        "history-lr": [0.0],
+        "epoch_last_improved": -1,
+        "best_valid_loss_so_far": np.inf,
+        "last_chkpt_time": time.time(),
+        "n_batches": 0,
+    }
+    for mode in modes:
+        metrics[mode] = {"epoch-history-drmsd": [],
+                         "epoch-history-combined": [],
+                         "epoch-history-lndrmsd": [],
+                         "epoch-history-mse": []}
+    return metrics
+
+
+def reset_for_epoch(metrics: dict, mode: str) -> dict:
+    m = metrics[mode]
+    for key in LOSS_KEYS:
+        m[f"epoch-{key}"] = 0.0
+        m[f"batch-{key}"] = 0.0
+    m["batch-history"] = []
+    m["batch-time"] = time.time()
+    m["speed-history"] = []
+    m["speed"] = 0.0
+    metrics["n_batches"] = 0
+    return metrics
+
+
+def update_batch(metrics: dict, mode: str, losses: dict, n_res: int,
+                 tracking_loss: Optional[float] = None) -> dict:
+    """Record one batch's losses (update_metrics, log.py:388-436)."""
+    m = metrics[mode]
+    metrics["n_batches"] += 1
+    for key in LOSS_KEYS:
+        val = float(losses.get(key, 0.0) or 0.0)
+        m[f"batch-{key}"] = val
+        if key in ("drmsd-bb", "lndrmsd-bb", "mse-bb", "mse-sc"):
+            m[f"epoch-{key}"] = val  # reference overwrites, not accumulates
+        else:
+            m[f"epoch-{key}"] += val
+    now = time.time()
+    m["speed"] = n_res / max(now - m["batch-time"], 1e-9)
+    m["batch-time"] = now
+    m["speed-history"].append(m["speed"])
+    if tracking_loss is not None:
+        m["batch-history"].append(float(tracking_loss))
+    return metrics
+
+
+def end_of_epoch(metrics: dict, mode: str) -> dict:
+    """Average accumulated metrics (update_metrics_end_of_epoch,
+    log.py:439-466)."""
+    m = metrics[mode]
+    n = max(metrics["n_batches"], 1)
+    for key in ("drmsd-full", "lndrmsd-full", "mse-full", "rmsd-full"):
+        m[f"epoch-{key}"] /= n
+    if m["epoch-drmsd-full"] == 0:
+        m["epoch-combined-full"] = 0.0
+    else:
+        m["epoch-combined-full"] /= n
+    m["epoch-history-combined"].append(m["epoch-combined-full"])
+    m["epoch-history-drmsd"].append(m["epoch-drmsd-full"])
+    m["epoch-history-mse"].append(m["epoch-mse-full"])
+    m["epoch-history-lndrmsd"].append(m["epoch-lndrmsd-full"])
+    return metrics
+
+
+class CsvLogger:
+    """The reference's .train CSV log (log.py:115-131,488-495)."""
+
+    def __init__(self, path: str, loss: str, resume: bool = False):
+        self.loss = loss
+        mode = "a" if resume else "w"
+        self._f = open(path, mode, buffering=1)
+        self._writer = csv.writer(self._f)
+        if not resume:
+            if loss == "combined":
+                self._f.write(
+                    "drmsd,ln_drmsd,rmse,rmsd,combined,lr,mode,granularity,"
+                    "time,speed\n")
+            else:
+                self._f.write(
+                    "drmsd,ln_drmsd,rmse,rmsd,lr,mode,granularity,time,"
+                    "speed\n")
+
+    def log(self, metrics: dict, mode: str, start_time: float,
+            end_of_epoch: bool = False):
+        m = metrics[mode]
+        be = "epoch" if end_of_epoch else "batch"
+        row = [m.get(f"{be}-drmsd-full", 0.0),
+               m.get(f"{be}-lndrmsd-full", 0.0),
+               float(np.sqrt(m.get(f"{be}-mse-full", 0.0))),
+               m.get(f"{be}-rmsd-full", 0.0)]
+        if self.loss == "combined":
+            row.append(m.get(f"{be}-combined-full", 0.0))
+        row += [metrics["history-lr"][-1], mode, "epoch",
+                round(time.time() - start_time, 4), m.get("speed", 0.0)]
+        self._writer.writerow(row)
+
+    def close(self):
+        self._f.close()
+
+
+def print_epoch_status(mode: str, metrics: dict, start: float):
+    """End-of-epoch console line (print_end_of_epoch_status, log.py:62-88)."""
+    m = metrics[mode]
+    lr = metrics["history-lr"][-1]
+    speed = float(np.mean(m["speed-history"])) if m["speed-history"] else 0.0
+    print(f"  - ({mode.capitalize()})  drmsd: {m['epoch-drmsd-full']:6.3f}, "
+          f"rmse: {np.sqrt(m['epoch-mse-full']):6.3f}, "
+          f"rmsd: {m['epoch-rmsd-full']:6.3f}, "
+          f"comb: {m['epoch-combined-full']:6.3f}, "
+          f"elapse: {(time.time() - start) / 60:3.3f} min, "
+          f"lr: {lr:5.2e}, res/sec = {speed:.0f}")

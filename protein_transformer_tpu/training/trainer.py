@@ -1,0 +1,344 @@
+"""Training control loop (reference: train.py:28-186,553-676).
+
+One jit-compiled SPMD training step containing the model forward, all losses
+(including on-device NeRF + dRMSD when requested), gradients, and the
+optimizer update -- zero host round-trips per step. The host loop handles the
+epoch structure, metrics/CSV logging, LR plateau scheduling, early stopping,
+and orbax checkpointing, with the reference's semantics throughout.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from protein_transformer_tpu import losses as L
+from protein_transformer_tpu.config import TrainConfig
+from protein_transformer_tpu.data.dataset import (
+    Batch, DataModule, load_dataset)
+from protein_transformer_tpu.models.factory import make_model
+from protein_transformer_tpu.parallel.mesh import (
+    make_mesh, replicate_tree, shard_batch)
+from protein_transformer_tpu.training import metrics as M
+from protein_transformer_tpu.training.checkpoint import (
+    CheckpointManager, checkpoint_policy)
+from protein_transformer_tpu.training.optim import (
+    EarlyStopping, PlateauState, make_optimizer, noam_schedule)
+
+DRMSD_LOSSES = ("drmsd", "lndrmsd", "combined")
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
+                   rngs=None, deterministic=True, with_drmsd=None,
+                   with_rmsd=False):
+    """All batch losses (reference get_losses, train.py:57-111).
+
+    Returns (training_loss, dict of scalar metrics). MSE losses are always
+    computed; dRMSD family only when training on it or evaluating.
+    """
+    if with_drmsd is None:
+        with_drmsd = cfg.loss in DRMSD_LOSSES
+    pred = model.apply(params, batch.seq, batch.ang,
+                       deterministic=deterministic, rngs=rngs)
+    m_full = L.mse_over_angles(pred, batch.ang, batch.ang_mask)
+    m_bb = L.mse_over_angles(pred, batch.ang, batch.ang_mask, bb_only=True)
+    m_sc = L.mse_over_angles(pred, batch.ang, batch.ang_mask, sc_only=True)
+
+    zero = jnp.zeros((), m_full.dtype)
+    out = {"mse-full": m_full, "mse-bb": m_bb, "mse-sc": m_sc,
+           "drmsd-full": zero, "lndrmsd-full": zero, "drmsd-bb": zero,
+           "lndrmsd-bb": zero, "combined-full": zero, "rmsd-full": zero}
+
+    if with_drmsd:
+        d = L.compute_batch_drmsd(pred, batch.crd, batch.seq, batch.crd_mask,
+                                  batch.protein_mask)
+        out.update({"drmsd-full": d.drmsd, "lndrmsd-full": d.ln_drmsd,
+                    "drmsd-bb": d.drmsd_bb, "lndrmsd-bb": d.ln_drmsd_bb})
+        # --backbone_loss trains on backbone-only dRMSD (train.py:461-462,
+        # losses.py:69-71)
+        d_train = d.drmsd_bb if cfg.backbone_loss else d.drmsd
+        ln_train = d.ln_drmsd_bb if cfg.backbone_loss else d.ln_drmsd
+        c = L.combine_drmsd_mse(ln_train, m_full,
+                                w=cfg.combined_drmsd_weight)
+        out["combined-full"] = c
+        if cfg.loss == "drmsd":
+            loss = d_train
+        elif cfg.loss == "lndrmsd":
+            loss = ln_train
+        elif cfg.loss == "combined":
+            loss = c
+        else:
+            loss = m_full
+    else:
+        loss = m_full
+
+    if with_rmsd:
+        angles = L.inverse_trig_transform(pred)
+        from protein_transformer_tpu.protein.geometry import build_coords_batch
+        pred_crd = build_coords_batch(angles, batch.seq)
+        out["rmsd-full"] = L.batch_rmsd_jax(pred_crd, batch.crd,
+                                            batch.crd_mask,
+                                            batch.protein_mask)
+    out["loss"] = loss
+    return loss, out
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, data: Optional[dict] = None,
+                 use_mesh: bool = True):
+        self.cfg = cfg = cfg.finalize()
+        data = data if data is not None else load_dataset(cfg.data)
+        self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
+        n_data = self.mesh.shape.get("data", 1) if self.mesh else 1
+        self.dm = DataModule(data, cfg, batch_multiple=n_data)
+        angle_means = (np.zeros(24, np.float32) if cfg.without_angle_means
+                       else self.dm.angle_means)
+        self.model = make_model(cfg, angle_means)
+
+        if cfg.lr_scheduling == "noam":
+            self.lr_schedule = noam_schedule(cfg.d_model, cfg.n_warmup_steps)
+            self.plateau = None
+        else:
+            self.lr_schedule = None
+            self.plateau = PlateauState(patience=cfg.patience,
+                                        threshold=cfg.early_stopping_threshold)
+        base_lr = (self.lr_schedule if self.lr_schedule
+                   else cfg.learning_rate)
+        self.tx = make_optimizer(cfg.optimizer, base_lr, cfg.weight_decay,
+                                 cfg.clip)
+        self.early_stop = EarlyStopping(patience=cfg.early_stopping,
+                                        threshold=cfg.early_stopping_threshold)
+
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.start_epoch = 0
+        self.start_time = time.time()
+        modes = (["train", "test"]
+                 + [f"valid-{s}" for s in (10, 20, 30, 40, 50, 70, 90)])
+        self.metrics = M.init_metrics(modes)
+        self._jit_cache: dict = {}
+
+        out_dir = os.path.join(cfg.out_dir, cfg.name or "run")
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        self.ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+
+    # ---------------- state init / restore ----------------
+
+    def init_state(self) -> TrainState:
+        rng, self.rng = jax.random.split(self.rng)
+        sample = next(self.dm.train_batches(np.random.default_rng(0)))
+        params = self.model.init(
+            {"params": rng, "dropout": rng, "sampling": rng},
+            jnp.asarray(sample.seq), jnp.asarray(sample.ang))
+        opt_state = self.tx.init(params)
+        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = TrainState(replicate_tree(state.params, self.mesh),
+                               replicate_tree(state.opt_state, self.mesh),
+                               state.step)
+        return state
+
+    def maybe_restore(self, state: TrainState) -> TrainState:
+        """Resume from 'best' unless --restart (train.py:233-271)."""
+        cfg = self.cfg
+        modifier = cfg.load_chkpt or "best"
+        if cfg.restart or not self.ckpt.exists(modifier):
+            return state
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        result = self.ckpt.restore(modifier, template)
+        if result is None:
+            return state
+        restored, meta = result
+        self.start_epoch = int(meta["epoch"]) + 1
+        self.start_time -= float(meta["elapsed"])
+        if self.plateau and meta.get("plateau"):
+            self.plateau.load_state_dict(dict(meta["plateau"]))
+        if meta.get("early_stop"):
+            self.early_stop.load_state_dict(dict(meta["early_stop"]))
+        self._best_history = list(meta.get("best_history", []))
+        opt_state = (state.opt_state if cfg.restart_opt
+                     else restored["opt_state"])
+        print(f"[Info] Resumed from '{modifier}' at epoch {self.start_epoch}.")
+        return TrainState(restored["params"], opt_state, restored["step"])
+
+    # ---------------- jitted steps ----------------
+
+    def _train_step_fn(self):
+        cfg, model, tx = self.cfg, self.model, self.tx
+
+        @jax.jit
+        def step(state_params, opt_state, step_no, batch: Batch, rng,
+                 lr_scale):
+            rngs = {"dropout": jax.random.fold_in(rng, step_no),
+                    "sampling": jax.random.fold_in(rng, step_no + 1)}
+
+            def loss_fn(p):
+                return compute_losses(model, p, batch, cfg, rngs=rngs,
+                                      deterministic=False)
+
+            (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state_params)
+            updates, opt_state = tx.update(grads, opt_state, state_params)
+            updates = jax.tree.map(lambda u: u * lr_scale, updates)
+            params = optax.apply_updates(state_params, updates)
+            return params, opt_state, step_no + 1, out
+
+        return step
+
+    def _eval_step_fn(self):
+        cfg, model = self.cfg, self.model
+
+        @functools.partial(jax.jit, static_argnames=("with_rmsd",))
+        def step(params, batch: Batch, with_rmsd=True):
+            _, out = compute_losses(model, params, batch, cfg,
+                                    deterministic=True, with_drmsd=True,
+                                    with_rmsd=with_rmsd)
+            return out
+
+        return step
+
+    # ---------------- epoch loops ----------------
+
+    def _current_lr(self, step: int) -> float:
+        if self.lr_schedule is not None:
+            return float(self.lr_schedule(step))
+        scale = self.plateau.scale if self.plateau else 1.0
+        return self.cfg.learning_rate * scale
+
+    def train_epoch(self, state: TrainState, logger) -> TrainState:
+        cfg = self.cfg
+        self.metrics = M.reset_for_epoch(self.metrics, "train")
+        train_step = self._jit_cache.setdefault("train",
+                                                self._train_step_fn())
+        rng_np = np.random.default_rng(cfg.seed + int(state.step))
+        lr_scale = jnp.asarray(self.plateau.scale if self.plateau else 1.0,
+                               jnp.float32)
+        for batch in self.dm.train_batches(rng_np):
+            batch_dev = shard_batch(batch, self.mesh)
+            params, opt_state, step_no, out = train_step(
+                state.params, state.opt_state, state.step, batch_dev,
+                self.rng, lr_scale)
+            state = TrainState(params, opt_state, step_no)
+            out_host = {k: float(v) for k, v in out.items()}
+            if not np.isfinite(out_host["loss"]):
+                raise FloatingPointError(
+                    "A nan loss has occurred. Exiting training.")
+            self.metrics["history-lr"].append(
+                self._current_lr(int(state.step) - 1))
+            self.metrics = M.update_batch(self.metrics, "train", out_host,
+                                          batch.n_res,
+                                          tracking_loss=out_host["loss"])
+            if logger:
+                logger.log(self.metrics, "train", self.start_time)
+        self.metrics = M.end_of_epoch(self.metrics, "train")
+        return state
+
+    def eval_epoch(self, params, mode: str,
+                   batches: Iterator[Batch], logger) -> None:
+        self.metrics = M.reset_for_epoch(self.metrics, mode)
+        eval_step = self._jit_cache.setdefault("eval", self._eval_step_fn())
+        for batch in batches:
+            batch_dev = shard_batch(batch, self.mesh)
+            out = eval_step(params, batch_dev)
+            out_host = {k: float(v) for k, v in out.items()}
+            self.metrics = M.update_batch(self.metrics, mode, out_host,
+                                          batch.n_res)
+        self.metrics = M.end_of_epoch(self.metrics, mode)
+        if logger:
+            logger.log(self.metrics, mode, self.start_time,
+                       end_of_epoch=True)
+
+    # ---------------- checkpointing ----------------
+
+    def _monitored_metric(self) -> float:
+        cfg = self.cfg
+        return self.metrics[cfg.es_mode][f"epoch-{cfg.es_metric}-full"]
+
+    def _save_checkpoint(self, state: TrainState, epoch: int,
+                         cur_loss: float, history: list) -> None:
+        modifier = checkpoint_policy(cur_loss, history,
+                                     self.metrics["last_chkpt_time"],
+                                     self.cfg.checkpoint_time_interval)
+        if modifier is None:
+            return
+        arrays = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step}
+        meta = {"epoch": epoch,
+                "elapsed": time.time() - self.start_time,
+                "plateau": (self.plateau.state_dict()
+                            if self.plateau else {}),
+                "early_stop": self.early_stop.state_dict(),
+                "best_history": list(history)}
+        self.ckpt.save(modifier, arrays, meta)
+        self.metrics["last_chkpt_time"] = time.time()
+        print(f"    - [Info] checkpoint '{modifier}' updated.")
+
+    # ---------------- main loop ----------------
+
+    def train(self, state: Optional[TrainState] = None) -> TrainState:
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state()
+            state = self.maybe_restore(state)
+        logger = M.CsvLogger(
+            os.path.join(self.out_dir, (cfg.name or "run") + ".train"),
+            cfg.loss, resume=self.start_epoch > 0)
+        history: list = getattr(self, "_best_history", [])
+
+        for epoch in range(self.start_epoch, cfg.epochs):
+            print(f"[ Epoch {epoch} ]")
+            start = time.time()
+            state = self.train_epoch(state, logger)
+            if cfg.eval_train:
+                self.eval_epoch(state.params, "train",
+                                self.dm.train_eval_batches(
+                                    np.random.default_rng(epoch)), logger)
+            M.print_epoch_status("train", self.metrics, start)
+            logger.log(self.metrics, "train", self.start_time,
+                       end_of_epoch=True)
+
+            if not cfg.train_only:
+                for split in self.dm.eval_splits:
+                    if split == "test":
+                        continue
+                    start = time.time()
+                    self.eval_epoch(state.params, split,
+                                    self.dm.eval_batches(split), logger)
+                    M.print_epoch_status(split, self.metrics, start)
+
+            # LR plateau scheduling on the monitored metric (train.py:166-167)
+            monitored = self._monitored_metric()
+            if self.plateau is not None:
+                self.plateau.step(monitored)
+
+            # Early stopping (log.py:92-112)
+            history.append(monitored)
+            stop = self.early_stop.update(epoch, monitored)
+            self._save_checkpoint(state, epoch, monitored, history)
+            if stop:
+                print(f"No improvement for {cfg.early_stopping} epochs. "
+                      "Stopping model training early.")
+                break
+
+        if not cfg.train_only and "test" in self.dm.eval_splits:
+            start = time.time()
+            self.eval_epoch(state.params, "test",
+                            self.dm.eval_batches("test"), logger)
+            M.print_epoch_status("test", self.metrics, start)
+        logger.close()
+        return state

@@ -1,0 +1,117 @@
+"""End-to-end trainer tests on synthetic data (CPU, small configs)."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from protein_transformer_tpu.config import TrainConfig
+from protein_transformer_tpu.data.synthetic import make_dataset
+from protein_transformer_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_dataset(n_train=12, n_eval=3, min_len=8, max_len=24, seed=0)
+
+
+def small_cfg(tmp_path, **kw):
+    base = dict(model="enc-only", d_model=16, d_ff=32, n_heads=2, n_layers=1,
+                batch_size=4, epochs=2, loss="mse", optimizer="adam",
+                learning_rate=1e-3, lr_scheduling="plateau",
+                bucket_sizes=(16, 24), max_seq_len=24,
+                out_dir=str(tmp_path), name="t", dropout=0.0,
+                train_only=True, early_stopping=0)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_mse_training_reduces_loss(tmp_path, data):
+    cfg = small_cfg(tmp_path, epochs=4)
+    tr = Trainer(cfg, data=data)
+    state = tr.train()
+    hist = tr.metrics["train"]["epoch-history-mse"]
+    assert len(hist) == 4
+    assert hist[-1] < hist[0], f"no learning: {hist}"
+    assert os.path.exists(os.path.join(tr.out_dir, "t.train"))
+
+
+def test_combined_loss_training(tmp_path, data):
+    cfg = small_cfg(tmp_path, loss="combined", epochs=2)
+    tr = Trainer(cfg, data=data)
+    tr.train()
+    hist = tr.metrics["train"]["epoch-history-combined"]
+    assert len(hist) == 2 and all(np.isfinite(hist))
+    assert tr.metrics["train"]["epoch-drmsd-full"] > 0
+
+
+def test_full_eval_with_validation_splits(tmp_path, data):
+    cfg = small_cfg(tmp_path, train_only=False, epochs=1, loss="mse")
+    tr = Trainer(cfg, data=data)
+    tr.train()
+    for split in ("valid-70", "test"):
+        assert tr.metrics[split]["epoch-mse-full"] > 0
+        assert tr.metrics[split]["epoch-rmsd-full"] > 0  # eval computes rmsd
+
+
+def test_checkpoint_resume(tmp_path, data):
+    cfg = small_cfg(tmp_path, epochs=2, name="ckpt",
+                    early_stopping_metric="train-mse")
+    tr = Trainer(cfg, data=data)
+    state = tr.train()
+    assert tr.ckpt.exists("best")
+
+    cfg2 = small_cfg(tmp_path, epochs=3, name="ckpt",
+                     early_stopping_metric="train-mse")
+    tr2 = Trainer(cfg2, data=data)
+    s2 = tr2.init_state()
+    s2 = tr2.maybe_restore(s2)
+    assert tr2.start_epoch == 2
+    # params restored (not reinitialized)
+    leaves1 = jax.tree.leaves(state.params)
+    leaves2 = jax.tree.leaves(s2.params)
+    same = all(np.allclose(a, b) for a, b in zip(leaves1, leaves2))
+    assert same
+
+
+def test_restart_skips_restore(tmp_path, data):
+    cfg = small_cfg(tmp_path, epochs=1, name="rst")
+    Trainer(cfg, data=data).train()
+    cfg2 = small_cfg(tmp_path, epochs=1, name="rst", restart=True)
+    tr2 = Trainer(cfg2, data=data)
+    s = tr2.maybe_restore(tr2.init_state())
+    assert tr2.start_epoch == 0
+
+
+def test_noam_scheduling(tmp_path, data):
+    cfg = small_cfg(tmp_path, lr_scheduling="noam", optimizer="adam",
+                    epochs=1)
+    tr = Trainer(cfg, data=data)
+    tr.train()
+    lrs = tr.metrics["history-lr"]
+    assert len(lrs) > 2
+    # warmup: lr increases initially
+    assert lrs[-1] > lrs[1] > 0
+
+
+def test_nan_watchdog(tmp_path, data):
+    cfg = small_cfg(tmp_path, learning_rate=1e9, epochs=1, optimizer="sgd",
+                    clip=0.0)
+    tr = Trainer(cfg, data=data)
+    with pytest.raises(FloatingPointError):
+        tr.train()
+
+
+def test_enc_dec_training(tmp_path, data):
+    cfg = small_cfg(tmp_path, model="enc-dec", epochs=1, loss="mse")
+    tr = Trainer(cfg, data=data)
+    tr.train()
+    assert np.isfinite(tr.metrics["train"]["epoch-mse-full"])
+
+
+def test_conv_enc_training(tmp_path, data):
+    cfg = small_cfg(tmp_path, model="conv-enc|3,3|1,2", epochs=1, loss="mse")
+    tr = Trainer(cfg, data=data)
+    tr.train()
+    assert np.isfinite(tr.metrics["train"]["epoch-mse-full"])
