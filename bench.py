@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: full training step throughput on real TPU hardware.
+
+Config: conv-enc dm=512 nl=6 (BASELINE.json config 4 class), combined
+mse+dRMSD loss with NeRF reconstruction and masked pairwise-distance
+reduction fully inside the jit step -- zero host round-trips. B=8 x L=256
+(the same workload measured for the reference by tools/bench_reference.py).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline compares against the locally-measured reference throughput
+(torch CPU -- the only backend the reference supports; it has no TPU path).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from protein_transformer_tpu.config import TrainConfig
+    from protein_transformer_tpu.data.dataset import Batch
+    from protein_transformer_tpu.training.trainer import Trainer
+    from protein_transformer_tpu.data.synthetic import make_dataset
+
+    b, l = 8, 256
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    cfg = TrainConfig(
+        model="conv-enc|21,11,3|1,1,1", d_model=512, d_ff=2048, n_heads=8,
+        n_layers=6, loss="combined", optimizer="adam", lr_scheduling="noam",
+        dropout=0.1, max_seq_len=l, bucket_sizes=(l,), batch_size=b,
+        train_only=True, name="bench", out_dir="/tmp/bench_runs")
+    data = make_dataset(n_train=8, n_eval=2, min_len=l - 1, max_len=l, seed=0)
+    trainer = Trainer(cfg, data=data)
+    state = trainer.init_state()
+    step_fn = trainer._train_step_fn()
+    batch = next(trainer.dm.train_batches(np.random.default_rng(0)))
+    assert batch.seq.shape == (b, l), batch.seq.shape
+    from protein_transformer_tpu.parallel.mesh import shard_batch
+    batch_dev = shard_batch(batch, trainer.mesh)
+    lr_scale = jnp.float32(1.0)
+
+    # compile + warmup. Two feedback iterations: the second call sees
+    # device-committed outputs (different shardings than the fresh host
+    # inputs) and triggers the steady-state compilation.
+    params, opt_state, step_no = state.params, state.opt_state, state.step
+    for _ in range(2):
+        params, opt_state, step_no, out = step_fn(
+            params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
+        jax.block_until_ready((params, out))
+
+    t0 = time.time()
+    for _ in range(steps):
+        params, opt_state, step_no, out = step_fn(
+            params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
+    jax.block_until_ready((params, out))
+    dt = (time.time() - t0) / steps
+
+    res_per_sec = b * l / dt
+    n_chips = jax.device_count()
+
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "reference_bench.json")
+    vs_baseline = None
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        vs_baseline = res_per_sec / ref["residues_per_sec"]
+
+    print(json.dumps({
+        "metric": ("train residues/sec/chip, conv-enc dm=512 nl=6 combined "
+                   "loss (on-device NeRF+dRMSD), B=8xL=256"),
+        "value": round(res_per_sec / n_chips, 1),
+        "unit": "residues/sec/chip",
+        "vs_baseline": (round(vs_baseline / n_chips, 2)
+                        if vs_baseline else None),
+    }))
+    print(f"# step time: {dt*1000:.1f} ms; devices: {n_chips}; "
+          f"steps/sec: {1/dt:.2f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,12 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
         self.ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+        # persist config + angle means for predict/analysis tooling
+        import json as _json
+        with open(os.path.join(out_dir, "config.json"), "w") as f:
+            _json.dump({"config": cfg.to_dict(),
+                        "angle_means": [float(a) for a in angle_means]},
+                       f, indent=1, default=str)
 
     # ---------------- state init / restore ----------------
 
