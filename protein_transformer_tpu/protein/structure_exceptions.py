@@ -1,0 +1,38 @@
+"""Typed exceptions classifying structure-preprocessing failures
+(reference: protein/structure_exceptions.py:1-46)."""
+
+
+class StructureError(Exception):
+    """Base class for structure preprocessing failures."""
+
+
+class IncompleteStructureError(StructureError):
+    """A structure is missing residues required for measurement."""
+
+
+class NonStandardAminoAcidError(StructureError):
+    """A structure contains a non-standard amino acid."""
+
+
+class SequenceError(StructureError):
+    """A sequence could not be obtained or does not match expectations."""
+
+
+class ContigMultipleMatchingError(StructureError):
+    """An observed contig matches the target sequence in multiple places."""
+
+
+class ShortStructureError(StructureError):
+    """A structure is too short to be used."""
+
+
+class MissingAtomsError(StructureError):
+    """Atoms required for an angle measurement are missing."""
+
+
+class NoneStructureError(StructureError):
+    """A structure could not be parsed at all."""
+
+
+class MaskAlignmentError(StructureError):
+    """The observed residues could not be aligned to the ProteinNet mask."""
