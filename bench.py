@@ -17,6 +17,11 @@ import time
 
 import numpy as np
 
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from protein_transformer_tpu.utils import enable_compilation_cache
+enable_compilation_cache()
+
 
 def main():
     import jax

@@ -72,6 +72,7 @@ class ConvEncoderOnlyTransformer(nn.Module):
     dropout: float = 0.1
     pad_id: int = 20
     prenorm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ids, dec_input=None, deterministic: bool = True):
@@ -81,30 +82,32 @@ class ConvEncoderOnlyTransformer(nn.Module):
                                self.conv_out_matches_dm)
 
         if self.use_embedding:
-            x = Embeddings(self.vocab_size, self.d_model)(ids)
-            pe = PositionalEncoding(self.d_model, self.max_len, self.dropout)
+            x = Embeddings(self.vocab_size, self.d_model, self.dtype)(ids)
+            pe = PositionalEncoding(self.d_model, self.max_len, self.dropout,
+                                    self.dtype)
             # Reference quirk: x + PE(x) (PE itself returns x + pe), then
             # dropout (convolutional_encoder.py:107-109).
             x = nn.Dropout(self.dropout)(x + pe(x, deterministic),
                                          deterministic=deterministic)
         else:
-            x = jnp.eye(self.vocab_size, dtype=jnp.float32)[ids]
+            x = jnp.eye(self.vocab_size, dtype=self.dtype)[ids]
 
         for k, _din, dout in conv_layer_dims(
                 self.d_model, self.vocab_size, self.use_embedding,
                 self.conv_kernel_sizes, self.conv_dim_reductions,
                 self.conv_out_matches_dm):
             assert k % 2 == 1, "kernel size must be odd to preserve length"
-            x = nn.Conv(dout, (k,), padding="SAME",
+            x = nn.Conv(dout, (k,), padding="SAME", dtype=self.dtype,
                         kernel_init=nn.initializers.xavier_uniform())(x)
 
         if not self.use_embedding:
-            pe = PositionalEncoding(d_attn, self.max_len, self.dropout)
+            pe = PositionalEncoding(d_attn, self.max_len, self.dropout,
+                                    self.dtype)
             x = x + pe(x, deterministic)
 
         for _ in range(self.n_layers):
             x = EncoderLayer(d_attn, self.d_ff, self.n_heads, self.dropout,
-                             self.prenorm)(x, mask, deterministic)
+                             self.prenorm, self.dtype)(x, mask, deterministic)
         return AngleProjection(tuple(self.angle_means), self.use_tanh_out)(x)
 
     def predict(self, ids):

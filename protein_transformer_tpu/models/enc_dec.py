@@ -51,16 +51,18 @@ class Transformer(nn.Module):
     dropout: float = 0.1
     pad_id: int = 20
     prenorm: bool = True
+    dtype: jnp.dtype = jnp.float32
     fraction_complete_tf: float = 1.0
     fraction_subseq_tf: float = 1.0
 
     def setup(self):
         self.encoder = Encoder(self.vocab_size, self.d_model, self.d_ff,
                                self.n_heads, self.n_enc_layers, self.max_len,
-                               self.dropout, self.prenorm)
+                               self.dropout, self.prenorm, self.dtype)
         self.decoder = Decoder(NUM_PREDICTED_ANGLES * 2, self.d_model,
                                self.d_ff, self.n_heads, self.n_dec_layers,
-                               self.max_len, self.dropout, self.prenorm)
+                               self.max_len, self.dropout, self.prenorm,
+                               self.dtype)
         # Xavier with tiny gain on the kernel, angle-mean bias
         # (Transformer.py:104-113; the reference enc-dec uses raw angle means
         # as bias even though a tanh follows).
@@ -83,7 +85,7 @@ class Transformer(nn.Module):
 
     def _decode(self, dec_input, enc_out, causal, src_mask, deterministic):
         out = self.decoder(dec_input, enc_out, causal, src_mask, deterministic)
-        return jnp.tanh(self.output_projection(out))
+        return jnp.tanh(self.output_projection(out.astype(jnp.float32)))
 
     def forward_tf(self, ids, tgt_angles, deterministic: bool = True):
         src_mask, causal = self._masks(ids)

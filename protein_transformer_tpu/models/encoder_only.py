@@ -32,12 +32,17 @@ def angle_mean_bias_init(angle_means, use_tanh: bool):
 
 
 class AngleProjection(nn.Module):
-    """Zero-kernel output head with angle-mean bias + optional tanh."""
+    """Zero-kernel output head with angle-mean bias + optional tanh.
+
+    Always computes in float32 regardless of the trunk dtype: the angle
+    head feeds the geometric losses, which need full precision.
+    """
     angle_means: tuple
     use_tanh_out: bool = True
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(jnp.float32)
         out = nn.Dense(
             NUM_PREDICTED_ANGLES * 2,
             kernel_init=nn.initializers.zeros,
@@ -62,6 +67,7 @@ class EncoderOnlyTransformer(nn.Module):
     dropout: float = 0.1
     pad_id: int = 20
     prenorm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ids, dec_input=None, deterministic: bool = True):
@@ -71,7 +77,7 @@ class EncoderOnlyTransformer(nn.Module):
         mask = (ids != self.pad_id)[:, None, None, :]
         x = Encoder(self.vocab_size, self.d_model, self.d_ff, self.n_heads,
                     self.n_layers, self.max_len, self.dropout,
-                    self.prenorm)(ids, mask, deterministic)
+                    self.prenorm, self.dtype)(ids, mask, deterministic)
         return AngleProjection(tuple(self.angle_means), self.use_tanh_out)(x)
 
     def predict(self, ids):

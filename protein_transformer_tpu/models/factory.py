@@ -7,6 +7,7 @@ substring disables the output tanh (train.py:288,298,323-338,588-600).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax.numpy as jnp
 
 from protein_transformer_tpu.models.conv_encoder import ConvEncoderOnlyTransformer
 from protein_transformer_tpu.models.enc_dec import Transformer
@@ -41,6 +42,7 @@ def make_model(cfg, angle_means) -> nn.Module:
         dropout=cfg.dropout,
         pad_id=cfg.pad_id,
         prenorm=not cfg.postnorm,
+        dtype=jnp.dtype(getattr(cfg, "compute_dtype", "float32")),
     )
     if name.startswith("enc-only"):
         return EncoderOnlyTransformer(use_tanh_out=use_tanh, **common)

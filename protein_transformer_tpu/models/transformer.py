@@ -14,8 +14,10 @@ models/transformer/{Encoder,Attention,Sublayers}.py). Architectural parity:
 * multi-head attention with mask -> -inf before softmax and dropout on the
   attention probabilities (Attention.py:5-69).
 
-Matmuls run at default (mixed bf16) precision for MXU throughput unless the
-module is constructed with ``precision='highest'``.
+All modules accept a ``dtype`` (activation/computation dtype): bfloat16
+feeds the MXU at full rate while parameters stay float32 (flax param_dtype).
+Softmax and layer norm stay in float32 for stability; the reference is
+float32 throughout (torch default), so parity testing uses float32.
 """
 from __future__ import annotations
 
@@ -43,10 +45,12 @@ class PositionalEncoding(nn.Module):
     dim: int
     max_len: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        pe = jnp.asarray(sinusoidal_positions(self.max_len, self.dim))
+        pe = jnp.asarray(sinusoidal_positions(self.max_len, self.dim),
+                         self.dtype)
         out = x + pe[None, : x.shape[1], :]
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
@@ -55,10 +59,11 @@ class Embeddings(nn.Module):
     """Scaled token embedding (Sublayers.py:65-72)."""
     vocab_size: int
     dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ids):
-        emb = nn.Embed(self.vocab_size, self.dim,
+        emb = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype,
                        embedding_init=nn.initializers.xavier_uniform())(ids)
         return emb * jnp.sqrt(jnp.asarray(self.dim, emb.dtype))
 
@@ -71,13 +76,15 @@ class MultiHeadedAttention(nn.Module):
     dim: int
     n_heads: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True):
         assert self.dim % self.n_heads == 0
         dk = self.dim // self.n_heads
         dense = lambda name: nn.Dense(
-            self.dim, kernel_init=nn.initializers.xavier_uniform(), name=name)
+            self.dim, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(), name=name)
         q, k, v = dense("wq")(q_in), dense("wk")(k_in), dense("wv")(v_in)
 
         def split(x):
@@ -85,14 +92,17 @@ class MultiHeadedAttention(nn.Module):
             return x.reshape(b, l, self.n_heads, dk).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(dk, q.dtype))
+        # scores/softmax in float32 for numerical stability
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(dk, jnp.float32))
         if mask is not None:
-            big_neg = jnp.finfo(scores.dtype).min
+            big_neg = jnp.finfo(jnp.float32).min
             scores = jnp.where(mask, scores, big_neg)
         probs = jax.nn.softmax(scores, axis=-1)
         probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(self.dtype),
+                         v.astype(self.dtype))
         b, h, l, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, l, self.dim)
         return dense("wo")(out)
@@ -103,13 +113,14 @@ class PositionwiseFeedForward(nn.Module):
     dim: int
     hidden: int
     dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        h = nn.Dense(self.hidden,
+        h = nn.Dense(self.hidden, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(x)
         h = nn.Dropout(self.dropout)(nn.relu(h), deterministic=deterministic)
-        return nn.Dense(self.dim,
+        return nn.Dense(self.dim, dtype=self.dtype,
                         kernel_init=nn.initializers.xavier_uniform())(h)
 
 
@@ -122,15 +133,15 @@ class SublayerConnection(nn.Module):
     dim: int
     dropout: float = 0.1
     prenorm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, sublayer: Callable, deterministic=True):
         drop = nn.Dropout(self.dropout)
+        norm = lambda y: nn.LayerNorm(dtype=self.dtype)(y)
         if self.prenorm:
-            return x + drop(sublayer(nn.LayerNorm()(x)),
-                            deterministic=deterministic)
-        return nn.LayerNorm()(x + drop(sublayer(x),
-                                       deterministic=deterministic))
+            return x + drop(sublayer(norm(x)), deterministic=deterministic)
+        return norm(x + drop(sublayer(x), deterministic=deterministic))
 
 
 class EncoderLayer(nn.Module):
@@ -140,15 +151,19 @@ class EncoderLayer(nn.Module):
     n_heads: int
     dropout: float = 0.1
     prenorm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
-        attn = MultiHeadedAttention(self.dim, self.n_heads, self.dropout)
-        ff = PositionwiseFeedForward(self.dim, self.dff, self.dropout)
-        x = SublayerConnection(self.dim, self.dropout, self.prenorm)(
-            x, lambda y: attn(y, y, y, mask, deterministic), deterministic)
-        x = SublayerConnection(self.dim, self.dropout, self.prenorm)(
-            x, lambda y: ff(y, deterministic), deterministic)
+        attn = MultiHeadedAttention(self.dim, self.n_heads, self.dropout,
+                                    self.dtype)
+        ff = PositionwiseFeedForward(self.dim, self.dff, self.dropout,
+                                     self.dtype)
+        sub = lambda: SublayerConnection(self.dim, self.dropout,
+                                         self.prenorm, self.dtype)
+        x = sub()(x, lambda y: attn(y, y, y, mask, deterministic),
+                  deterministic)
+        x = sub()(x, lambda y: ff(y, deterministic), deterministic)
         return x
 
 
@@ -162,18 +177,20 @@ class Encoder(nn.Module):
     max_len: int
     dropout: float = 0.1
     prenorm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ids, mask, deterministic=True):
-        x = Embeddings(self.vocab_size, self.dim)(ids)
+        x = Embeddings(self.vocab_size, self.dim, self.dtype)(ids)
         # Reference quirk: x + PositionalEncoding(x) where PE already adds x
         # (Encoder.py:31) -> embedding enters twice.
-        pe = PositionalEncoding(self.dim, self.max_len, self.dropout)
+        pe = PositionalEncoding(self.dim, self.max_len, self.dropout,
+                                self.dtype)
         x = nn.Dropout(self.dropout)(x + pe(x, deterministic),
                                      deterministic=deterministic)
         for _ in range(self.n_layers):
             x = EncoderLayer(self.dim, self.dff, self.n_heads, self.dropout,
-                             self.prenorm)(x, mask, deterministic)
+                             self.prenorm, self.dtype)(x, mask, deterministic)
         return x
 
 
@@ -184,13 +201,18 @@ class DecoderLayer(nn.Module):
     n_heads: int
     dropout: float = 0.1
     prenorm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, enc_out, tgt_mask, src_mask, deterministic=True):
-        self_attn = MultiHeadedAttention(self.dim, self.n_heads, self.dropout)
-        cross_attn = MultiHeadedAttention(self.dim, self.n_heads, self.dropout)
-        ff = PositionwiseFeedForward(self.dim, self.dff, self.dropout)
-        sub = lambda: SublayerConnection(self.dim, self.dropout, self.prenorm)
+        self_attn = MultiHeadedAttention(self.dim, self.n_heads, self.dropout,
+                                         self.dtype)
+        cross_attn = MultiHeadedAttention(self.dim, self.n_heads,
+                                          self.dropout, self.dtype)
+        ff = PositionwiseFeedForward(self.dim, self.dff, self.dropout,
+                                     self.dtype)
+        sub = lambda: SublayerConnection(self.dim, self.dropout, self.prenorm,
+                                         self.dtype)
         x = sub()(x, lambda y: self_attn(y, y, y, tgt_mask, deterministic),
                   deterministic)
         x = sub()(x, lambda y: cross_attn(y, enc_out, enc_out, src_mask,
@@ -209,16 +231,19 @@ class Decoder(nn.Module):
     max_len: int
     dropout: float = 0.1
     prenorm: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, enc_out, tgt_mask, src_mask, deterministic=True):
-        x = nn.Dense(self.dim,
+        x = nn.Dense(self.dim, dtype=self.dtype,
                      kernel_init=nn.initializers.xavier_uniform())(tgt)
-        pe = PositionalEncoding(self.dim, self.max_len, self.dropout)
+        pe = PositionalEncoding(self.dim, self.max_len, self.dropout,
+                                self.dtype)
         x = nn.Dropout(self.dropout)(x + pe(x, deterministic),
                                      deterministic=deterministic)
         for _ in range(self.n_layers):
             x = DecoderLayer(self.dim, self.dff, self.n_heads, self.dropout,
-                             self.prenorm)(x, enc_out, tgt_mask, src_mask,
-                                           deterministic)
+                             self.prenorm, self.dtype)(x, enc_out, tgt_mask,
+                                                       src_mask,
+                                                       deterministic)
         return x

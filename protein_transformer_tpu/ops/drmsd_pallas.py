@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: fused masked dRMSD statistics.
+
+Computes sum_{i<j, mask_i, mask_j} (|a_i - a_j| - |b_i - b_j|)^2 and the
+pair count for a single protein's atom cloud WITHOUT materializing the
+(N, N) distance matrices in HBM (N = L*14, up to 7000: two full matrices
+would be ~400 MB). The reference materializes both and indexes the upper
+triangle (losses.py:233-278); the XLA fallback (losses._drmsd_stats) tiles
+rows with rematerialization; this kernel fuses distance computation, upper-
+triangular masking, and the reduction into one VMEM-resident pass, plus a
+matching custom-VJP backward kernel that recomputes distances tile-by-tile
+and accumulates per-atom gradients.
+
+Layout notes: coordinates are carried as 3 separate (N,) lanes-friendly
+planes padded to a multiple of the 128-lane tile; distance tiles are
+(TILE, TILE) VPU elementwise work (the K=3 contraction is too thin for the
+MXU to help).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE = 512
+_DIST_CLAMP = 1e-30
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _pad_inputs(a, b, mask):
+    n = a.shape[0]
+    n_pad = _round_up(max(n, _TILE), _TILE)
+    pad = n_pad - n
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad, 3), a.dtype)])
+        b = jnp.concatenate([b, jnp.zeros((pad, 3), b.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), mask.dtype)])
+    # planes: (3, N) for lane-friendly tiles
+    return a.T, b.T, mask.astype(jnp.float32), n_pad
+
+
+def _tile_dists(pa, pb, ti, tj):
+    """Distance tiles (TILE, TILE) between row tile ti and col tile tj.
+
+    pa/pb: (3, N) coordinate planes in VMEM.
+    """
+    def tile_d(p):
+        xi = p[:, pl.ds(ti * _TILE, _TILE)]          # (3, T)
+        xj = p[:, pl.ds(tj * _TILE, _TILE)]          # (3, T)
+        d2 = jnp.zeros((_TILE, _TILE), jnp.float32)
+        for c in range(3):
+            diff = xi[c][:, None] - xj[c][None, :]
+            d2 = d2 + diff * diff
+        return jnp.sqrt(jnp.maximum(d2, _DIST_CLAMP))
+    return tile_d(pa), tile_d(pb)
+
+
+def _pair_mask(m_ref, ti, tj):
+    mi = m_ref[0, pl.ds(ti * _TILE, _TILE)]
+    mj = m_ref[0, pl.ds(tj * _TILE, _TILE)]
+    rows = ti * _TILE + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (_TILE, _TILE), 0)
+    cols = tj * _TILE + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (_TILE, _TILE), 1)
+    tri = (rows < cols).astype(jnp.float32)
+    return mi[:, None] * mj[None, :] * tri
+
+
+def _fwd_kernel(pa_ref, pb_ref, m_ref, out_ref):
+    """Grid cell (ti, tj): accumulate (sum, count) over the tile pair."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _():
+        out_ref[0, 0] = 0.0
+        out_ref[0, 1] = 0.0
+
+    @pl.when(tj >= ti)  # strictly-lower tile pairs contribute nothing
+    def _():
+        da, db = _tile_dists(pa_ref, pb_ref, ti, tj)
+        w = _pair_mask(m_ref, ti, tj)
+        diff = da - db
+        out_ref[0, 0] += jnp.sum(diff * diff * w)
+        out_ref[0, 1] += jnp.sum(w)
+
+
+def _bwd_kernel(pa_ref, pb_ref, m_ref, da_out_ref):
+    """Row-tile ti gradient: dS/da_i = sum_j 2*w_ij*(Da-Db)/Da * (a_i-a_j).
+
+    Full row sweep per grid cell (ti,), accumulating the 3 gradient planes.
+    """
+    ti = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    acc = jnp.zeros((3, _TILE), jnp.float32)
+
+    def body(tj, acc):
+        da, db = _tile_dists(pa_ref, pb_ref, ti, tj)
+        mi = m_ref[0, pl.ds(ti * _TILE, _TILE)]
+        mj = m_ref[0, pl.ds(tj * _TILE, _TILE)]
+        rows = ti * _TILE + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (_TILE, _TILE), 0)
+        cols = tj * _TILE + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (_TILE, _TILE), 1)
+        offdiag = (rows != cols).astype(jnp.float32)
+        w = mi[:, None] * mj[None, :] * offdiag
+        coef = 2.0 * w * (da - db) / da        # (T, T), symmetric pair sum
+        new = []
+        for c in range(3):
+            xi = pa_ref[c, pl.ds(ti * _TILE, _TILE)]
+            xj = pa_ref[c, pl.ds(tj * _TILE, _TILE)]
+            diff = xi[:, None] - xj[None, :]
+            new.append(acc[c] + jnp.sum(coef * diff, axis=1))
+        return jnp.stack(new)
+
+    acc = jax.lax.fori_loop(0, n_tiles, body, acc)
+    da_out_ref[:, :] = acc
+
+
+def _db_kernel(pa_ref, pb_ref, m_ref, db_out_ref):
+    """dS/db_i = sum_j -2*w_ij*(Da-Db)/Db * (b_i-b_j)."""
+    ti = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+    acc = jnp.zeros((3, _TILE), jnp.float32)
+
+    def body(tj, acc):
+        da, db = _tile_dists(pa_ref, pb_ref, ti, tj)
+        mi = m_ref[0, pl.ds(ti * _TILE, _TILE)]
+        mj = m_ref[0, pl.ds(tj * _TILE, _TILE)]
+        rows = ti * _TILE + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (_TILE, _TILE), 0)
+        cols = tj * _TILE + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (_TILE, _TILE), 1)
+        offdiag = (rows != cols).astype(jnp.float32)
+        w = mi[:, None] * mj[None, :] * offdiag
+        coef = -2.0 * w * (da - db) / db
+        new = []
+        for c in range(3):
+            xi = pb_ref[c, pl.ds(ti * _TILE, _TILE)]
+            xj = pb_ref[c, pl.ds(tj * _TILE, _TILE)]
+            diff = xi[:, None] - xj[None, :]
+            new.append(acc[c] + jnp.sum(coef * diff, axis=1))
+        return jnp.stack(new)
+
+    acc = jax.lax.fori_loop(0, n_tiles, body, acc)
+    db_out_ref[:, :] = acc
+
+
+@jax.custom_vjp
+def _drmsd_stats_p(a: jax.Array, b: jax.Array,
+                   maskf: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(sum of squared distance differences over valid i<j pairs, count).
+
+    maskf is float32 0/1 (bool would need a float0 cotangent in the VJP).
+    """
+    return _stats_fwd_impl(a, b, maskf)
+
+
+def drmsd_stats_pallas(a, b, mask):
+    return _drmsd_stats_p(a, b, mask.astype(jnp.float32))
+
+
+def _stats_fwd_impl(a, b, mask):
+    pa, pb, m, n_pad = _pad_inputs(a, b, mask)
+    n_tiles = n_pad // _TILE
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n_tiles, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        # scalar accumulators live in SMEM (VMEM cannot take scalar stores)
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+    )(pa, pb, m[None, :])
+    return out[0, 0], out[0, 1]
+
+
+def _stats_fwd(a, b, mask):
+    s, c = _stats_fwd_impl(a, b, mask)
+    return (s, c), (a, b, mask)
+
+
+def _stats_bwd(res, cot):
+    a, b, mask = res
+    ds, _dc = cot  # count is integer-valued; no gradient
+    n = a.shape[0]
+    pa, pb, m, n_pad = _pad_inputs(a, b, mask)
+    n_tiles = n_pad // _TILE
+    common = dict(
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        out_specs=pl.BlockSpec((3, _TILE), lambda ti: (0, ti),
+                               memory_space=pltpu.VMEM),
+    )
+    ga = pl.pallas_call(_bwd_kernel, **common)(pa, pb, m[None, :])
+    gb = pl.pallas_call(_db_kernel, **common)(pa, pb, m[None, :])
+    ga = (ga.T[:n] * ds).astype(a.dtype)
+    gb = (gb.T[:n] * ds).astype(b.dtype)
+    return ga, gb, jnp.zeros_like(mask)
+
+
+_drmsd_stats_p.defvjp(_stats_fwd, _stats_bwd)
+
+
+def drmsd_masked_pallas(a: jax.Array, b: jax.Array,
+                        mask: jax.Array) -> jax.Array:
+    """Masked dRMSD via the fused kernel (drop-in for losses.drmsd_masked)."""
+    s, c = drmsd_stats_pallas(a, b, mask)
+    return jnp.sqrt(jnp.maximum(s / jnp.maximum(c, 1.0), _DIST_CLAMP))

@@ -31,6 +31,8 @@ from protein_transformer_tpu.training.checkpoint import (
     CheckpointManager, checkpoint_policy)
 from protein_transformer_tpu.training.optim import (
     EarlyStopping, PlateauState, make_optimizer, noam_schedule)
+from protein_transformer_tpu.training import wandb_logging as W
+from protein_transformer_tpu.training.structure_logging import StructureLogger
 
 DRMSD_LOSSES = ("drmsd", "lndrmsd", "combined")
 
@@ -100,6 +102,8 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
 class Trainer:
     def __init__(self, cfg: TrainConfig, data: Optional[dict] = None,
                  use_mesh: bool = True):
+        from protein_transformer_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg = cfg.finalize()
         data = data if data is not None else load_dataset(cfg.data)
         self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
@@ -135,6 +139,8 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
         self.ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
+        self.wandb_run = None
+        self.structure_logger = StructureLogger(out_dir)
         # persist config + angle means for predict/analysis tooling
         import json as _json
         with open(os.path.join(out_dir, "config.json"), "w") as f:
@@ -218,6 +224,32 @@ class Trainer:
 
         return step
 
+    # ---------------- structure logging ----------------
+
+    def _structure_coords_fn(self):
+        model = self.model
+
+        @jax.jit
+        def fn(params, seq, ang):
+            from protein_transformer_tpu.protein.geometry import (
+                build_coords_batch)
+            pred = model.apply(params, seq, ang, deterministic=True)
+            return build_coords_batch(L.inverse_trig_transform(pred), seq)
+
+        return fn
+
+    def _log_structure(self, state, batch, step: int, name: str = "train"):
+        """Rebuild + write the last batch item's structure (log.py:200-206),
+        off the critical path via the async StructureLogger."""
+        fn = self._jit_cache.setdefault("struct", self._structure_coords_fn())
+        real = int(batch.protein_mask.sum())
+        idx = max(real - 1, 0)
+        crd = fn(state.params, jnp.asarray(batch.seq[idx:idx + 1]),
+                 jnp.asarray(batch.ang[idx:idx + 1]))
+        self.structure_logger.log(step, name, batch.seq[idx],
+                                  np.asarray(crd)[0], batch.crd[idx],
+                                  batch.crd_mask[idx])
+
     # ---------------- epoch loops ----------------
 
     def _current_lr(self, step: int) -> float:
@@ -251,6 +283,16 @@ class Trainer:
                                           tracking_loss=out_host["loss"])
             if logger:
                 logger.log(self.metrics, "train", self.start_time)
+            step_i = int(state.step) - 1
+            if (self.wandb_run is not None
+                    and step_i % max(cfg.log_wandb_step, 1) == 0):
+                W.log_train_batch(self.wandb_run, out_host,
+                                  int(batch.protein_mask.sum()),
+                                  self.metrics["train"]["speed"],
+                                  lr=self.metrics["history-lr"][-1])
+            if (cfg.log_structure_step
+                    and step_i % cfg.log_structure_step == 0):
+                self._log_structure(state, batch, step_i)
         self.metrics = M.end_of_epoch(self.metrics, "train")
         return state
 
@@ -268,6 +310,7 @@ class Trainer:
         if logger:
             logger.log(self.metrics, mode, self.start_time,
                        end_of_epoch=True)
+        W.log_eval_epoch(self.wandb_run, mode, self.metrics[mode])
 
     # ---------------- checkpointing ----------------
 
@@ -301,6 +344,11 @@ class Trainer:
         if state is None:
             state = self.init_state()
             state = self.maybe_restore(state)
+        if self.wandb_run is None and cfg.use_wandb:
+            n_params = sum(int(np.prod(p.shape))
+                           for p in jax.tree.leaves(state.params))
+            self.wandb_run = W.try_init_wandb(cfg, n_params,
+                                              self.dm.angle_means)
         logger = M.CsvLogger(
             os.path.join(self.out_dir, (cfg.name or "run") + ".train"),
             cfg.loss, resume=self.start_epoch > 0)
@@ -326,6 +374,9 @@ class Trainer:
                     self.eval_epoch(state.params, split,
                                     self.dm.eval_batches(split), logger)
                     M.print_epoch_status(split, self.metrics, start)
+                W.log_avg_validation(self.wandb_run, self.metrics,
+                                     [s for s in self.dm.eval_splits
+                                      if s != "test"])
 
             # LR plateau scheduling on the monitored metric (train.py:166-167)
             monitored = self._monitored_metric()
@@ -347,4 +398,7 @@ class Trainer:
                             self.dm.eval_batches("test"), logger)
             M.print_epoch_status("test", self.metrics, start)
         logger.close()
+        self.structure_logger.close()
+        if self.wandb_run is not None:
+            self.wandb_run.finish()
         return state
