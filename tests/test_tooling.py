@@ -1,0 +1,86 @@
+"""Tests for offline tooling: batch probe, dev datasets, downsampling, plot."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from protein_transformer_tpu.data.synthetic import make_dataset
+from protein_transformer_tpu.training.batch_probe import (
+    find_largest_batch_size)
+
+
+def test_batch_probe_search():
+    calls = []
+
+    def try_batch(b):
+        calls.append(b)
+        if b > 23:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    got = find_largest_batch_size(try_batch, verbose=False)
+    # frontier is 23, keep 0.8 -> 18
+    assert got == int(23 * 0.8)
+
+
+def test_batch_probe_non_oom_propagates():
+    def try_batch(b):
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError):
+        find_largest_batch_size(try_batch, verbose=False)
+
+
+def test_batch_probe_start_too_big():
+    def try_batch(b):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    with pytest.raises(RuntimeError, match="starting batch"):
+        find_largest_batch_size(try_batch, verbose=False)
+
+
+def test_dev_dataset_scripts(tmp_path):
+    sys.path.insert(0, "ptt_scripts")
+    try:
+        from create_development_datasets import (
+            extract_ids_dataset, make_dev_dataset)
+    finally:
+        sys.path.remove("ptt_scripts")
+    data = make_dataset(n_train=10, n_eval=2, seed=0)
+    wanted = [data["train"]["ids"][1], data["train"]["ids"][4]]
+    dev = make_dev_dataset(data, wanted)
+    assert len(dev["train"]["seq"]) == 2
+    assert dev["valid-70"] is dev["train"]
+    both = extract_ids_dataset(data, ["syn1"])
+    assert len(both["train"]["seq"]) >= 1
+
+
+def test_downsample(tmp_path):
+    sys.path.insert(0, "ptt_scripts")
+    try:
+        from downsample_dataset import down_sample_split
+    finally:
+        sys.path.remove("ptt_scripts")
+    data = make_dataset(n_train=10, n_eval=4, seed=0)
+    rng = np.random.default_rng(0)
+    small = down_sample_split(data["train"], rng, n=3)
+    assert len(small["seq"]) == 3
+    frac = down_sample_split(data["train"], rng, fraction=0.5)
+    assert len(frac["seq"]) == 5
+
+
+def test_plot_reads_log(tmp_path):
+    sys.path.insert(0, "ptt_scripts")
+    try:
+        import plot as plot_mod
+    finally:
+        sys.path.remove("ptt_scripts")
+    log = tmp_path / "x.train"
+    log.write_text(
+        "drmsd,ln_drmsd,rmse,rmsd,combined,lr,mode,granularity,time,speed\n"
+        "1.0,0.1,0.5,0.0,2.0,0.001,train,epoch,1.0,100\n"
+        "0.9,0.09,0.4,0.0,1.8,0.001,train,epoch,2.0,100\n")
+    data = plot_mod.read_log(str(log))
+    assert data["drmsd"] == [1.0, 0.9]
+    assert plot_mod.main([str(log), "--mode", "train",
+                          "--out", str(tmp_path / "p.png")]) == 0
