@@ -132,13 +132,20 @@ def _drmsd_stats(a: jax.Array, b: jax.Array,
     return s, c
 
 
-def drmsd_masked(a: jax.Array, b: jax.Array, mask: jax.Array) -> jax.Array:
+def drmsd_masked(a: jax.Array, b: jax.Array, mask: jax.Array,
+                 impl: str = "xla") -> jax.Array:
     """Masked dRMSD = sqrt(mean over valid i<j pairs of (Da - Db)^2).
 
     Parity: losses.drmsd (losses.py:256-278) computed on the compacted valid
-    atoms of a single protein.
+    atoms of a single protein. impl: "xla" (tiled scan, default) or "pallas"
+    (fused kernel, TPU only).
     """
-    s, c = _drmsd_stats(a, b, mask)
+    if impl == "pallas":
+        from protein_transformer_tpu.ops.drmsd_pallas import (
+            drmsd_stats_pallas)
+        s, c = drmsd_stats_pallas(a, b, mask)
+    else:
+        s, c = _drmsd_stats(a, b, mask)
     # clamp before sqrt: at s == 0 (identical/empty point sets -- e.g. padded
     # dummy batch rows) sqrt's infinite slope would emit NaN cotangents even
     # under zero downstream weights. The 1e-15 value floor is far below any
@@ -155,7 +162,8 @@ class DrmsdResults(NamedTuple):
 
 
 def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
-                       atom_mask: jax.Array) -> tuple[jax.Array, ...]:
+                       atom_mask: jax.Array,
+                       impl: str = "xla") -> tuple[jax.Array, ...]:
     """dRMSD stats for one protein: (L, 14, 3) coords, (L, 14) atom mask."""
     n = pred_crd.shape[0] * NUM_PREDICTED_COORDS
     a = pred_crd.reshape(n, 3)
@@ -165,8 +173,8 @@ def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
     # (structure_utils.get_backbone_from_full_coords:19-32).
     bb_slot = jnp.tile(
         jnp.arange(NUM_PREDICTED_COORDS) < 3, pred_crd.shape[0])
-    full = drmsd_masked(a, b, m)
-    bb = drmsd_masked(a, b, m & bb_slot)
+    full = drmsd_masked(a, b, m, impl)
+    bb = drmsd_masked(a, b, m & bb_slot, impl)
     n_atoms = jnp.maximum(jnp.sum(m), 1)
     n_atoms_bb = jnp.maximum(jnp.sum(m & bb_slot), 1)
     return full, full / n_atoms, bb, bb / n_atoms_bb
@@ -174,7 +182,8 @@ def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
 
 def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
                         seq: jax.Array, atom_mask: jax.Array,
-                        protein_mask: jax.Array | None = None) -> DrmsdResults:
+                        protein_mask: jax.Array | None = None,
+                        impl: str = "xla") -> DrmsdResults:
     """Batch-mean dRMSD family losses, differentiable end-to-end.
 
     pred_sincos: (B, L, 24) model output; true_crd: (B, L, 14, 3) with
@@ -188,7 +197,8 @@ def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
     """
     angles = inverse_trig_transform(pred_sincos)
     pred_crd = build_coords_batch(angles, seq)
-    full, ln, bb, ln_bb = jax.vmap(_per_protein_drmsd)(
+    per_protein = functools.partial(_per_protein_drmsd, impl=impl)
+    full, ln, bb, ln_bb = jax.vmap(per_protein)(
         pred_crd, true_crd, atom_mask)
     if protein_mask is None:
         mean = jnp.mean

@@ -67,7 +67,8 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
 
     if with_drmsd:
         d = L.compute_batch_drmsd(pred, batch.crd, batch.seq, batch.crd_mask,
-                                  batch.protein_mask)
+                                  batch.protein_mask,
+                                  impl=getattr(cfg, "drmsd_impl", "xla"))
         out.update({"drmsd-full": d.drmsd, "lndrmsd-full": d.ln_drmsd,
                     "drmsd-bb": d.drmsd_bb, "lndrmsd-bb": d.ln_drmsd_bb})
         # --backbone_loss trains on backbone-only dRMSD (train.py:461-462,
