@@ -23,6 +23,7 @@ from protein_transformer_tpu import losses as L
 from protein_transformer_tpu.config import TrainConfig
 from protein_transformer_tpu.data.dataset import (
     Batch, DataModule, load_dataset)
+from protein_transformer_tpu.data.prefetch import prefetch
 from protein_transformer_tpu.models.factory import make_model
 from protein_transformer_tpu.parallel.mesh import (
     make_mesh, replicate_tree, shard_batch)
@@ -267,8 +268,9 @@ class Trainer:
         rng_np = np.random.default_rng(cfg.seed + int(state.step))
         lr_scale = jnp.asarray(self.plateau.scale if self.plateau else 1.0,
                                jnp.float32)
-        for batch in self.dm.train_batches(rng_np):
-            batch_dev = shard_batch(batch, self.mesh)
+        batches = prefetch(self.dm.train_batches(rng_np), size=2,
+                           transform=lambda b: (b, shard_batch(b, self.mesh)))
+        for batch, batch_dev in batches:
             params, opt_state, step_no, out = train_step(
                 state.params, state.opt_state, state.step, batch_dev,
                 self.rng, lr_scale)
@@ -301,8 +303,9 @@ class Trainer:
                    batches: Iterator[Batch], logger) -> None:
         self.metrics = M.reset_for_epoch(self.metrics, mode)
         eval_step = self._jit_cache.setdefault("eval", self._eval_step_fn())
-        for batch in batches:
-            batch_dev = shard_batch(batch, self.mesh)
+        prefetched = prefetch(batches, size=2,
+                              transform=lambda b: (b, shard_batch(b, self.mesh)))
+        for batch, batch_dev in prefetched:
             out = eval_step(params, batch_dev)
             out_host = {k: float(v) for k, v in out.items()}
             self.metrics = M.update_batch(self.metrics, mode, out_host,
