@@ -259,6 +259,20 @@ class DataModule:
 
     def train_batches(self, rng: np.random.Generator) -> Iterator[Batch]:
         cfg = self.cfg
+        if cfg.batching_order in ("descending", "ascending"):
+            # length-ordered epochs (the reference exposes these modes but
+            # raises NotImplementedError, dataset.py:235-236; implemented
+            # here as a superset)
+            order = np.argsort(self.train.lens)
+            if cfg.batching_order == "descending":
+                order = order[::-1]
+            for _ in range(cfg.repeat_train):
+                for start in range(0, len(order), cfg.batch_size):
+                    idx = order[start:start + cfg.batch_size]
+                    yield collate(self.train, idx, cfg.bucket_sizes,
+                                  self.max_seq_len,
+                                  batch_multiple=self.batch_multiple)
+            return
         sampler = binned_batch_sampler(
             self.train, cfg.batch_size,
             dynamic_batch=cfg.batch_size * self.max_seq_len,

@@ -145,3 +145,20 @@ def test_datamodule_iterates(data):
     assert n > 0
     evals = list(dm.eval_batches("valid-70"))
     assert sum(int(b.protein_mask.sum()) for b in evals) == 4
+
+
+def test_batching_order_modes(data):
+    cfg = TrainConfig(batch_size=4, bucket_sizes=(16, 32, 48), max_seq_len=48,
+                      batching_order="ascending").finalize()
+    dm = DataModule(data, cfg)
+    lens = []
+    for batch in dm.train_batches(np.random.default_rng(0)):
+        valid = batch.seq != VOCAB.pad_id
+        lens.append(valid.sum(1)[batch.protein_mask].max())
+    assert lens == sorted(lens)
+    cfg2 = TrainConfig(batch_size=4, bucket_sizes=(16, 32, 48), max_seq_len=48,
+                       batching_order="descending").finalize()
+    dm2 = DataModule(data, cfg2)
+    lens2 = [int((b.seq != VOCAB.pad_id).sum(1)[b.protein_mask].max())
+             for b in dm2.train_batches(np.random.default_rng(0))]
+    assert lens2 == sorted(lens2, reverse=True)
