@@ -252,6 +252,20 @@ class Trainer:
                                   np.asarray(crd)[0], batch.crd[idx],
                                   batch.crd_mask[idx])
 
+    def _log_validation_structures(self, state, step_i: int):
+        """Predict + log the middle item of each validation split
+        (do_train_batch_logging, log.py:188-206)."""
+        from protein_transformer_tpu.data.dataset import collate
+        for split, ds in self.dm.eval_splits.items():
+            if split == "test" or len(ds) == 0:
+                continue
+            idx = np.array([len(ds) // 2])
+            batch = collate(ds, idx, self.cfg.bucket_sizes,
+                            self.dm.max_seq_len,
+                            batch_multiple=self.dm.batch_multiple)
+            self._log_structure(state, batch, step_i,
+                                name=f"V{split.split('-')[-1]}")
+
     # ---------------- epoch loops ----------------
 
     def _current_lr(self, step: int) -> float:
@@ -296,6 +310,9 @@ class Trainer:
             if (cfg.log_structure_step
                     and step_i % cfg.log_structure_step == 0):
                 self._log_structure(state, batch, step_i)
+            if (cfg.log_val_struct_step
+                    and step_i % cfg.log_val_struct_step == 0):
+                self._log_validation_structures(state, step_i)
         self.metrics = M.end_of_epoch(self.metrics, "train")
         return state
 
