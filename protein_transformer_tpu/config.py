@@ -88,7 +88,7 @@ class TrainConfig:
     mesh_shape: Sequence[int] = (-1,)        # data-parallel mesh; -1 = all
     mesh_axes: Sequence[str] = ("data",)
     compute_dtype: str = "float32"           # float32 | bfloat16
-    drmsd_impl: str = "xla"                  # xla | pallas (TPU only)
+    drmsd_impl: str = "auto"                 # auto | xla | pallas
     profile_dir: Optional[str] = None
 
     # Derived (filled by finalize())

@@ -38,6 +38,13 @@ from protein_transformer_tpu.training.structure_logging import StructureLogger
 DRMSD_LOSSES = ("drmsd", "lndrmsd", "combined")
 
 
+def resolve_drmsd_impl(impl: str) -> str:
+    """'auto' -> fused Pallas kernel on TPU, tiled XLA path elsewhere."""
+    if impl != "auto":
+        return impl
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 @dataclasses.dataclass
 class TrainState:
     params: Any
@@ -67,9 +74,9 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
            "lndrmsd-bb": zero, "combined-full": zero, "rmsd-full": zero}
 
     if with_drmsd:
-        d = L.compute_batch_drmsd(pred, batch.crd, batch.seq, batch.crd_mask,
-                                  batch.protein_mask,
-                                  impl=getattr(cfg, "drmsd_impl", "xla"))
+        d = L.compute_batch_drmsd(
+            pred, batch.crd, batch.seq, batch.crd_mask, batch.protein_mask,
+            impl=resolve_drmsd_impl(getattr(cfg, "drmsd_impl", "auto")))
         out.update({"drmsd-full": d.drmsd, "lndrmsd-full": d.ln_drmsd,
                     "drmsd-bb": d.drmsd_bb, "lndrmsd-bb": d.ln_drmsd_bb})
         # --backbone_loss trains on backbone-only dRMSD (train.py:461-462,
