@@ -12,7 +12,7 @@ differentiable, and vectorizable with ``jax.vmap`` over a batch:
 2. Carbonyl oxygens: one independent NeRF placement per residue (vectorized).
 3. Sidechains: up to 10 chained NeRF placements per residue, driven entirely
    by dense per-AA tables (``_ff14sb``); sequential only *within* a residue
-   (static 10-step unrolled loop), vectorized across residues and batch.
+   (static-bound fori_loop over slots), vectorized across residues and batch.
 
 Conventions match the reference: angles are (L, 12) radians in the order
 [phi, psi, omega, theta1(n-ca-c), theta2(ca-c-n), theta3(c-n-ca), chi0..chi5];
@@ -127,14 +127,24 @@ def build_sidechains(bb: jax.Array, angles: jax.Array,
     chi_vals = jnp.take_along_axis(angles, chi_gather, axis=1)  # (L, 10)
     torsions = jnp.where(ttype == ff.TORSION_PRED, chi_vals, tconst) - toff
 
-    for slot in range(ff.MAX_SC_ATOMS):
-        idx = frame[:, slot]                                  # (L, 3)
-        abc = jnp.take_along_axis(buf, idx[:, :, None], axis=1)  # (L, 3, 3)
-        pt = nerf(abc[:, 0], abc[:, 1], abc[:, 2],
-                  blen[:, slot], bang[:, slot], torsions[:, slot])
-        pt = jnp.where((slot < n_sc)[:, None], pt, 0.0)
-        buf = buf.at[:, 4 + slot].set(pt)
+    # Sequential only across the <=10 slots (each atom's frame may use
+    # earlier sidechain atoms); a loop (vs unrolling) keeps the compiled
+    # graph ~10x smaller.
+    slot_frames = jnp.transpose(frame, (1, 0, 2))      # (10, L, 3)
+    blen_t = blen.T                                     # (10, L)
+    bang_t = bang.T
+    tors_t = torsions.T
 
+    def body(slot, buf_c):
+        idx = slot_frames[slot]                         # (L, 3)
+        abc = jnp.take_along_axis(buf_c, idx[:, :, None], axis=1)
+        pt = nerf(abc[:, 0], abc[:, 1], abc[:, 2],
+                  blen_t[slot], bang_t[slot], tors_t[slot])
+        pt = jnp.where((slot < n_sc)[:, None], pt, 0.0)
+        return jax.lax.dynamic_update_slice(
+            buf_c, pt[:, None, :], (0, 4 + slot, 0))
+
+    buf = jax.lax.fori_loop(0, ff.MAX_SC_ATOMS, body, buf, unroll=2)
     return buf[:, :NUM_PREDICTED_COORDS]
 
 
