@@ -27,9 +27,6 @@ from protein_transformer_tpu.training.checkpoint import CheckpointManager
 
 def load_run(run_dir: str, modifier: str = "best"):
     """Load (cfg, model, params) from a training run directory."""
-    import jax
-    import jax.numpy as jnp
-
     with open(os.path.join(run_dir, "config.json")) as f:
         saved = json.load(f)
     cfg = TrainConfig.from_dict(saved["config"]).finalize()
@@ -37,13 +34,7 @@ def load_run(run_dir: str, modifier: str = "best"):
     model = make_model(cfg, angle_means)
 
     ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
-    # build a parameter template via init on a tiny input
-    ids = jnp.zeros((1, 8), jnp.int32)
-    ang = jnp.zeros((1, 8, 24), jnp.float32)
-    template = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0),
-         "sampling": jax.random.PRNGKey(0)}, ids, ang)
-    result = ckpt.restore(modifier, {"params": template})
+    result = ckpt.restore_raw(modifier)
     if result is None:
         raise FileNotFoundError(
             f"no '{modifier}' checkpoint in {run_dir}/checkpoints")

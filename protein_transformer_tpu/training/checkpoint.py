@@ -47,6 +47,20 @@ class CheckpointManager:
                 meta = json.load(f)
         return arrays, meta
 
+    def restore_raw(self, modifier: str) -> Optional[tuple[dict, dict]]:
+        """Restore without a structure template (returns plain array trees).
+        Used by tooling (predict) that only needs params."""
+        path = self._path(modifier)
+        if not os.path.exists(path):
+            return None
+        arrays = self._ckptr.restore(path)
+        meta_path = path + ".meta.json"
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        return arrays, meta
+
     def exists(self, modifier: str) -> bool:
         return os.path.exists(self._path(modifier))
 

@@ -382,10 +382,14 @@ class Trainer:
             cfg.loss, resume=self.start_epoch > 0)
         history: list = getattr(self, "_best_history", [])
 
+        from protein_transformer_tpu.utils import maybe_profile
         for epoch in range(self.start_epoch, cfg.epochs):
             print(f"[ Epoch {epoch} ]")
             start = time.time()
-            state = self.train_epoch(state, logger)
+            # capture a device trace of the first trained epoch if requested
+            with maybe_profile(cfg.profile_dir if epoch == self.start_epoch
+                               else None):
+                state = self.train_epoch(state, logger)
             if cfg.eval_train:
                 self.eval_epoch(state.params, "train",
                                 self.dm.train_eval_batches(

@@ -115,3 +115,27 @@ def test_conv_enc_training(tmp_path, data):
     tr = Trainer(cfg, data=data)
     tr.train()
     assert np.isfinite(tr.metrics["train"]["epoch-mse-full"])
+
+
+def test_predict_end_to_end(tmp_path, data):
+    """Train a tiny model, then run the predict tool against the run dir."""
+    cfg = small_cfg(tmp_path, epochs=1, name="pred")
+    Trainer(cfg, data=data).train()
+
+    from protein_transformer_tpu.data.convert import convert
+    data_dir = str(tmp_path / "native")
+    convert(data, data_dir)
+
+    from protein_transformer_tpu.predict import predict_structures
+    out = str(tmp_path / "preds")
+    paths = predict_structures(os.path.join(str(tmp_path), "pred"),
+                               data_dir, split="test", n=2, out_dir=out)
+    assert len(paths) == 4  # 2 pred + 2 true
+    for p in paths:
+        assert os.path.exists(p) and os.path.getsize(p) > 100
+
+    recon = predict_structures(os.path.join(str(tmp_path), "pred"),
+                               data_dir, split="test", n=1,
+                               out_dir=str(tmp_path / "recon"),
+                               reconstruct=True)
+    assert any("recon" in p for p in recon)
