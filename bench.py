@@ -33,7 +33,7 @@ def main():
     from protein_transformer_tpu.data.synthetic import make_dataset
 
     b, l = 8, 256
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
 
     cfg = TrainConfig(
         model="conv-enc|21,11,3|1,1,1", d_model=512, d_ff=2048, n_heads=8,
