@@ -183,7 +183,8 @@ def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
 def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
                         seq: jax.Array, atom_mask: jax.Array,
                         protein_mask: jax.Array | None = None,
-                        impl: str = "xla") -> DrmsdResults:
+                        impl: str = "xla",
+                        pred_crd: jax.Array | None = None) -> DrmsdResults:
     """Batch-mean dRMSD family losses, differentiable end-to-end.
 
     pred_sincos: (B, L, 24) model output; true_crd: (B, L, 14, 3) with
@@ -195,8 +196,9 @@ def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
     (losses.py:133-172): angles -> coordinates (on-device NeRF) -> masked
     pairwise reductions, averaged over the batch as in losses.py:169-172.
     """
-    angles = inverse_trig_transform(pred_sincos)
-    pred_crd = build_coords_batch(angles, seq)
+    if pred_crd is None:
+        angles = inverse_trig_transform(pred_sincos)
+        pred_crd = build_coords_batch(angles, seq)
     per_protein = functools.partial(_per_protein_drmsd, impl=impl)
     full, ln, bb, ln_bb = jax.vmap(per_protein)(
         pred_crd, true_crd, atom_mask)

@@ -73,10 +73,17 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
            "drmsd-full": zero, "lndrmsd-full": zero, "drmsd-bb": zero,
            "lndrmsd-bb": zero, "combined-full": zero, "rmsd-full": zero}
 
+    pred_crd = None
+    if with_drmsd or with_rmsd:
+        angles = L.inverse_trig_transform(pred)
+        from protein_transformer_tpu.protein.geometry import build_coords_batch
+        pred_crd = build_coords_batch(angles, batch.seq)
+
     if with_drmsd:
         d = L.compute_batch_drmsd(
             pred, batch.crd, batch.seq, batch.crd_mask, batch.protein_mask,
-            impl=resolve_drmsd_impl(getattr(cfg, "drmsd_impl", "auto")))
+            impl=resolve_drmsd_impl(getattr(cfg, "drmsd_impl", "auto")),
+            pred_crd=pred_crd)
         out.update({"drmsd-full": d.drmsd, "lndrmsd-full": d.ln_drmsd,
                     "drmsd-bb": d.drmsd_bb, "lndrmsd-bb": d.ln_drmsd_bb})
         # --backbone_loss trains on backbone-only dRMSD (train.py:461-462,
@@ -98,9 +105,6 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
         loss = m_full
 
     if with_rmsd:
-        angles = L.inverse_trig_transform(pred)
-        from protein_transformer_tpu.protein.geometry import build_coords_batch
-        pred_crd = build_coords_batch(angles, batch.seq)
         out["rmsd-full"] = L.batch_rmsd_jax(pred_crd, batch.crd,
                                             batch.crd_mask,
                                             batch.protein_mask)
