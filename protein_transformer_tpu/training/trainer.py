@@ -27,6 +27,7 @@ from protein_transformer_tpu.data.prefetch import prefetch
 from protein_transformer_tpu.models.factory import make_model
 from protein_transformer_tpu.parallel.mesh import (
     make_mesh, replicate_tree, shard_batch)
+from protein_transformer_tpu.parallel.sharding import shard_params
 from protein_transformer_tpu.training import metrics as M
 from protein_transformer_tpu.training.checkpoint import (
     CheckpointManager, checkpoint_policy)
@@ -169,13 +170,14 @@ class Trainer:
         params = self.model.init(
             {"params": rng, "dropout": rng, "sampling": rng},
             jnp.asarray(sample.seq), jnp.asarray(sample.ang))
-        opt_state = self.tx.init(params)
-        state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
         if self.mesh is not None:
-            state = TrainState(replicate_tree(state.params, self.mesh),
-                               replicate_tree(state.opt_state, self.mesh),
-                               state.step)
-        return state
+            # TP rules apply when the mesh has a 'model' axis; otherwise
+            # everything is replicated. Initializing the optimizer AFTER
+            # sharding makes its moment tensors (zeros_like) inherit the
+            # parameter shardings.
+            params = shard_params(params, self.mesh)
+        opt_state = self.tx.init(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
     def maybe_restore(self, state: TrainState) -> TrainState:
         """Resume from 'best' unless --restart (train.py:233-271)."""

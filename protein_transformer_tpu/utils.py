@@ -19,6 +19,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     if _CACHE_ENABLED:
         return
     import jax
+    if jax.default_backend() != "tpu":
+        # XLA:CPU AOT artifacts are machine-feature-specific; a cache entry
+        # compiled elsewhere can SIGILL. Only TPU executables are portable
+        # enough to cache here.
+        _CACHE_ENABLED = True
+        return
     cache_dir = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.cache/ptt_jax_cache"))
     os.makedirs(cache_dir, exist_ok=True)
