@@ -90,9 +90,12 @@ def probe_trainer_batch_size(trainer, length: int | None = None,
         batch = collate(ds, idx, (length,), length,
                         batch_multiple=trainer.dm.batch_multiple)
         bd = shard_batch(batch, trainer.mesh)
-        params, opt_state, step_no, out = step_fn(
-            state.params, state.opt_state, state.step, bd, trainer.rng,
-            jnp.float32(1.0))
+        # the train step donates its state buffers; probe with copies so the
+        # template state survives repeated tries
+        params = jax.tree.map(jnp.copy, state.params)
+        opt_state = jax.tree.map(jnp.copy, state.opt_state)
+        _p, _o, _s, out = step_fn(params, opt_state, state.step, bd,
+                                  trainer.rng, jnp.float32(1.0))
         jax.block_until_ready(out)
 
     return find_largest_batch_size(try_batch, **kwargs)

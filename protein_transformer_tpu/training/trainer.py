@@ -208,7 +208,9 @@ class Trainer:
     def _train_step_fn(self):
         cfg, model, tx = self.cfg, self.model, self.tx
 
-        @jax.jit
+        # donate params/opt_state buffers: they are consumed every step, so
+        # XLA can update in place instead of allocating fresh copies
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(state_params, opt_state, step_no, batch: Batch, rng,
                  lr_scale):
             rngs = {"dropout": jax.random.fold_in(rng, step_no),
