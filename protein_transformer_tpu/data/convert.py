@@ -64,15 +64,25 @@ def convert(data: dict, out_dir: str) -> None:
         json.dump(manifest, f, indent=1, default=str)
 
 
+def export_pt(data: dict, out_path: str) -> None:
+    """Reverse conversion: dataset dict -> reference-schema torch .pt
+    (interop with the reference's own tooling)."""
+    import torch
+    torch.save(data, out_path)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("pt_path", help="reference-schema .pt dataset")
-    p.add_argument("out_dir", help="output shard directory")
+    p.add_argument("src", help=".pt file or native shard directory")
+    p.add_argument("dst", help="output: directory (native) or .pt file")
     args = p.parse_args(argv)
-    import torch
-    data = torch.load(args.pt_path, weights_only=False)
-    convert(data, args.out_dir)
-    print(f"converted {args.pt_path} -> {args.out_dir}")
+    from protein_transformer_tpu.data.dataset import load_dataset
+    data = load_dataset(args.src)
+    if args.dst.endswith(".pt"):
+        export_pt(data, args.dst)
+    else:
+        convert(data, args.dst)
+    print(f"converted {args.src} -> {args.dst}")
 
 
 if __name__ == "__main__":
