@@ -84,3 +84,25 @@ def test_plot_reads_log(tmp_path):
     assert data["drmsd"] == [1.0, 0.9]
     assert plot_mod.main([str(log), "--mode", "train",
                           "--out", str(tmp_path / "p.png")]) == 0
+
+
+def test_analyze_runs(tmp_path):
+    import json
+    run = tmp_path / "runA"
+    run.mkdir()
+    (run / "runA.train").write_text(
+        "drmsd,ln_drmsd,rmse,rmsd,lr,mode,granularity,time,speed\n"
+        "2.0,0.2,0.8,0.0,0.001,train,epoch,1.0,100\n"
+        "1.5,0.15,0.6,0.0,0.001,train,epoch,2.0,100\n")
+    (run / "config.json").write_text(json.dumps(
+        {"config": {"model": "enc-only", "d_model": 64, "loss": "mse"},
+         "angle_means": [0.0] * 24}))
+    sys.path.insert(0, "ptt_scripts")
+    try:
+        import analyze
+    finally:
+        sys.path.remove("ptt_scripts")
+    s = analyze.summarize_run(str(run), "train")
+    assert s["epochs"] == 2
+    assert s["best_rmse"] == 0.6 and s["final_drmsd"] == 1.5
+    assert analyze.main([str(run), "--metric", "rmse"]) == 0
