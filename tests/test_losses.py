@@ -217,3 +217,27 @@ def test_kabsch_rmsd_zero_after_rigid_motion():
         q[:, 0] *= -1
     b = a @ q.T + rng.normal(0, 10, 3)
     assert L.kabsch_rmsd(a, b) < 1e-6
+
+
+def test_golden_losses_fixture():
+    """Frozen reference loss values (generated from the reference torch
+    implementation; keeps parity coverage when the reference isn't mounted)."""
+    path = os.path.join(os.path.dirname(__file__), "golden", "losses.npz")
+    if not os.path.exists(path):
+        pytest.skip("golden losses fixture not generated")
+    g = np.load(path)
+    clean, mask = masks_from_reference_convention(g["true"])
+    got = float(L.mse_over_angles(jnp.asarray(g["pred"]), jnp.asarray(clean),
+                                  jnp.asarray(mask)))
+    assert abs(got - float(g["mse_full"])) < 1e-6
+    got_bb = float(L.mse_over_angles(jnp.asarray(g["pred"]),
+                                     jnp.asarray(clean), jnp.asarray(mask),
+                                     bb_only=True))
+    assert abs(got_bb - float(g["mse_bb"])) < 1e-6
+    got_sc = float(L.mse_over_angles(jnp.asarray(g["pred"]),
+                                     jnp.asarray(clean), jnp.asarray(mask),
+                                     sc_only=True))
+    assert abs(got_sc - float(g["mse_sc"])) < 1e-6
+    got_d = float(L.drmsd_masked(jnp.asarray(g["a"]), jnp.asarray(g["b"]),
+                                 jnp.asarray(g["mask"])))
+    assert abs(got_d - float(g["drmsd"])) < 1e-4
