@@ -161,3 +161,17 @@ def test_tensor_parallel_training(tmp_path, data):
     tr2.train()
     assert abs(tr.metrics["train"]["epoch-mse-full"]
                - tr2.metrics["train"]["epoch-mse-full"]) < 1e-5
+
+
+def test_eval_is_deterministic(tmp_path, data):
+    cfg = small_cfg(tmp_path, epochs=1, name="det", train_only=False)
+    tr = Trainer(cfg, data=data)
+    state = tr.init_state()
+    tr.eval_epoch(state.params, "valid-70", tr.dm.eval_batches("valid-70"),
+                  None)
+    first = dict(tr.metrics["valid-70"])
+    tr.eval_epoch(state.params, "valid-70", tr.dm.eval_batches("valid-70"),
+                  None)
+    second = tr.metrics["valid-70"]
+    for key in ("epoch-mse-full", "epoch-drmsd-full", "epoch-rmsd-full"):
+        assert first[key] == second[key], key
