@@ -28,7 +28,6 @@ def main():
     import jax.numpy as jnp
 
     from protein_transformer_tpu.config import TrainConfig
-    from protein_transformer_tpu.data.dataset import Batch
     from protein_transformer_tpu.training.trainer import Trainer
     from protein_transformer_tpu.data.synthetic import make_dataset
 

@@ -20,8 +20,6 @@ import os
 
 import numpy as np
 
-from protein_transformer_tpu.protein.constants import NUM_PREDICTED_COORDS
-
 
 def convert_split(split_data: dict) -> dict:
     seqs = list(split_data["seq"])

@@ -19,7 +19,6 @@ cluster scripts did for the reference.)
 """
 from __future__ import annotations
 
-import dataclasses
 import datetime
 import multiprocessing
 import os

@@ -8,8 +8,6 @@ predicts the mean structure.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

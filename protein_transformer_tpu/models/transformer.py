@@ -21,7 +21,7 @@ float32 throughout (torch default), so parity testing uses float32.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
 import jax

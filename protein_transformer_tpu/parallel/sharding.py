@@ -18,8 +18,6 @@ propagates the layouts through the step and inserts all-reduces on ICI.
 from __future__ import annotations
 
 import re
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

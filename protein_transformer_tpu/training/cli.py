@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import sys
 
 from protein_transformer_tpu.config import TrainConfig
 
@@ -100,6 +99,8 @@ def create_parser() -> argparse.ArgumentParser:
                      default="float32")
     tpu.add_argument("--mesh_shape", type=int, nargs="+", default=[-1])
     tpu.add_argument("--mesh_axes", type=str, nargs="+", default=["data"])
+    tpu.add_argument("--drmsd_impl", choices=["auto", "xla", "pallas"],
+                     default="auto")
     tpu.add_argument("--profile_dir", type=str, default=None)
     return p
 

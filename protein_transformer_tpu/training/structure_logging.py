@@ -13,8 +13,6 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Optional
-
 import numpy as np
 
 from protein_transformer_tpu.protein.pdb import PdbWriter
