@@ -106,3 +106,46 @@ def test_analyze_runs(tmp_path):
     assert s["epochs"] == 2
     assert s["best_rmse"] == 0.6 and s["final_drmsd"] == 1.5
     assert analyze.main([str(run), "--metric", "rmse"]) == 0
+
+
+def test_dataset_item_to_pdb(tmp_path, monkeypatch):
+    from protein_transformer_tpu.data.convert import convert
+    data = make_dataset(n_train=3, n_eval=2, min_len=8, max_len=12, seed=2)
+    native = str(tmp_path / "native")
+    convert(data, native)
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/repo/ptt_scripts")
+    sys.path.insert(0, "/root/repo")
+    try:
+        import dataset_item_to_pdb
+    finally:
+        sys.path.remove("/root/repo/ptt_scripts")
+    out = str(tmp_path / "item.pdb")
+    dataset_item_to_pdb.main([native, "--split", "train", "--idx", "0",
+                              "--out", out, "--rebuild"])
+    assert os.path.exists(out)
+    rebuilt = out.replace("_true.pdb", "_rebuilt.pdb")
+    assert os.path.exists(out.replace(".pdb", ".pdb"))
+
+
+def test_export_embeddings(tmp_path):
+    # reuse a trained run from the trainer test helper
+    from protein_transformer_tpu.config import TrainConfig
+    from protein_transformer_tpu.training.trainer import Trainer
+    data = make_dataset(n_train=6, n_eval=2, min_len=8, max_len=16, seed=3)
+    cfg = TrainConfig(model="enc-only", d_model=16, d_ff=32, n_heads=2,
+                      n_layers=1, batch_size=4, epochs=1, loss="mse",
+                      optimizer="adam", bucket_sizes=(16,), max_seq_len=16,
+                      out_dir=str(tmp_path), name="emb", dropout=0.0,
+                      train_only=True, log_structure_step=0)
+    Trainer(cfg, data=data).train()
+    sys.path.insert(0, "/root/repo/ptt_scripts")
+    try:
+        import export_embeddings_to_tsv as exp
+    finally:
+        sys.path.remove("/root/repo/ptt_scripts")
+    exp.main([str(tmp_path / "emb"), "--out", str(tmp_path / "tsv")])
+    vecs = open(tmp_path / "tsv" / "vectors.tsv").read().strip().splitlines()
+    labels = open(tmp_path / "tsv" / "labels.tsv").read().strip().splitlines()
+    assert len(vecs) == len(labels) == 22  # vocab size
+    assert len(vecs[0].split("\t")) == 16  # d_model
