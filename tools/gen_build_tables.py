@@ -135,40 +135,52 @@ def main():
         "n-ca-c-n": bb_info["BONDTORSIONS"]["n-ca-c-n"],
     }
 
-    def fmt(arr):
-        return np.array2string(
-            arr, separator=", ", threshold=arr.size + 1, max_line_width=100,
-            floatmode="unique",
-        )
+    import json
+
+    np.savez_compressed(
+        "protein_transformer_tpu/protein/ff14sb_tables.npz",
+        sc_num_atoms=n_sc, sc_bond_len=bond_len, sc_bond_ang=bond_ang,
+        sc_torsion_type=tor_type, sc_torsion_const=tor_const,
+        sc_torsion_src=tor_src, sc_torsion_pi_offset=tor_pi_off,
+        sc_frame_idx=frame_idx,
+        atom_names=np.array(atom_names, dtype="U4"),
+        bb_names=np.array(list(bb.keys()), dtype="U12"),
+        bb_values=np.array(list(bb.values()), np.float64))
 
     with open("protein_transformer_tpu/protein/_ff14sb.py", "w") as f:
-        f.write('"""AMBER ff14SB build constants as dense arrays (GENERATED FILE).\n\n')
+        f.write('"""AMBER ff14SB build constants as dense arrays '
+                '(GENERATED FILE).\n\n')
         f.write("Generated by tools/gen_build_tables.py from the AMBER ff14SB\n")
         f.write("forcefield constants (cf. reference SidechainBuildInfo.py:1-585 and\n")
-        f.write("data/development/forcefields/). Do not edit by hand.\n\n")
+        f.write("data/development/forcefields/). Arrays live in\n")
+        f.write("ff14sb_tables.npz; do not edit by hand.\n\n")
         f.write("Array layout: rows indexed by vocabulary amino-acid id (0..19 =\n")
         f.write(f"{ONE_LETTER_ORDER!r}, 20=pad, 21=unk, 22=sos, 23=eos; non-AA rows zero).\n")
         f.write("Sidechain slots are in build order. Torsion resolution:\n")
         f.write("  type==1 (predicted): torsion = chi[src_slot] - pi_offset\n")
         f.write("  type==0 (constant):  torsion = const       - pi_offset\n")
         f.write('"""\n')
-        f.write("import numpy as np\n\n")
+        f.write("import os\n\nimport numpy as np\n\n")
         f.write(f"MAX_SC_ATOMS = {MAX_SC_ATOMS}\n")
         f.write(f"ANCHOR_IDX = {ANCHOR_IDX}\n")
         f.write(f"TORSION_CONST = {TORSION_CONST}\n")
         f.write(f"TORSION_PRED = {TORSION_PRED}\n\n")
-        f.write(f"SC_NUM_ATOMS = np.array({fmt(n_sc)}, dtype=np.int32)\n\n")
-        f.write(f"SC_BOND_LEN = np.array(\n{fmt(bond_len)}, dtype=np.float32)\n\n")
-        f.write(f"SC_BOND_ANG = np.array(\n{fmt(bond_ang)}, dtype=np.float32)\n\n")
-        f.write(f"SC_TORSION_TYPE = np.array(\n{fmt(tor_type)}, dtype=np.int32)\n\n")
-        f.write(f"SC_TORSION_CONST = np.array(\n{fmt(tor_const)}, dtype=np.float32)\n\n")
-        f.write(f"SC_TORSION_SRC = np.array(\n{fmt(tor_src)}, dtype=np.int32)\n\n")
-        f.write(f"SC_TORSION_PI_OFFSET = np.array(\n{fmt(tor_pi_off)}, dtype=np.float32)\n\n")
-        f.write(f"SC_FRAME_IDX = np.array(\n{fmt(frame_idx)}, dtype=np.int32)\n\n")
+        f.write('_z = np.load(os.path.join(os.path.dirname(__file__),\n'
+                '                          "ff14sb_tables.npz"))\n\n')
+        f.write("SC_NUM_ATOMS = _z['sc_num_atoms']\n")
+        f.write("SC_BOND_LEN = _z['sc_bond_len']\n")
+        f.write("SC_BOND_ANG = _z['sc_bond_ang']\n")
+        f.write("SC_TORSION_TYPE = _z['sc_torsion_type']\n")
+        f.write("SC_TORSION_CONST = _z['sc_torsion_const']\n")
+        f.write("SC_TORSION_SRC = _z['sc_torsion_src']\n")
+        f.write("SC_TORSION_PI_OFFSET = _z['sc_torsion_pi_offset']\n")
+        f.write("SC_FRAME_IDX = _z['sc_frame_idx']\n\n")
         f.write("# Backbone bond lengths/angles (radians, Angstroms)\n")
-        f.write(f"BB_CONST = {pprint.pformat(bb)}\n\n")
+        f.write("BB_CONST = {str(k): float(v) for k, v in\n")
+        f.write("            zip(_z['bb_names'], _z['bb_values'])}\n\n")
         f.write("# Per-AA atom names for the 14 coordinate slots (PDB export)\n")
-        f.write(f"ATOM_NAMES_14 = {pprint.pformat(atom_names)}\n")
+        f.write("ATOM_NAMES_14 = [[str(n) for n in row]\n")
+        f.write("                 for row in _z['atom_names']]\n")
     print("wrote protein_transformer_tpu/protein/_ff14sb.py")
 
 
