@@ -18,7 +18,6 @@ Run:  python tools/gen_build_tables.py
 """
 import importlib.util
 import math
-import pprint
 import sys
 
 import numpy as np
@@ -135,7 +134,7 @@ def main():
         "n-ca-c-n": bb_info["BONDTORSIONS"]["n-ca-c-n"],
     }
 
-    import json
+
 
     np.savez_compressed(
         "protein_transformer_tpu/protein/ff14sb_tables.npz",
