@@ -169,14 +169,18 @@ def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
     a = pred_crd.reshape(n, 3)
     b = true_crd.reshape(n, 3)
     m = atom_mask.reshape(n)
-    # Backbone = first 3 slots (N, CA, C) of each residue
-    # (structure_utils.get_backbone_from_full_coords:19-32).
-    bb_slot = jnp.tile(
-        jnp.arange(NUM_PREDICTED_COORDS) < 3, pred_crd.shape[0])
     full = drmsd_masked(a, b, m, impl)
-    bb = drmsd_masked(a, b, m & bb_slot, impl)
+    # Backbone = first 3 slots (N, CA, C) of each residue
+    # (structure_utils.get_backbone_from_full_coords:19-32). Compact to the
+    # 3L backbone atoms before the pair sweep -- compaction preserves pair
+    # order and distances, and the (3L)^2 sweep does ~22x less distance work
+    # than masking 11/14 slots of the full (14L)^2 sweep.
+    a_bb = pred_crd[:, :3, :].reshape(-1, 3)
+    b_bb = true_crd[:, :3, :].reshape(-1, 3)
+    m_bb = atom_mask[:, :3].reshape(-1)
+    bb = drmsd_masked(a_bb, b_bb, m_bb, impl)
     n_atoms = jnp.maximum(jnp.sum(m), 1)
-    n_atoms_bb = jnp.maximum(jnp.sum(m & bb_slot), 1)
+    n_atoms_bb = jnp.maximum(jnp.sum(m_bb), 1)
     return full, full / n_atoms, bb, bb / n_atoms_bb
 
 

@@ -110,39 +110,45 @@ def build_sidechains(bb: jax.Array, angles: jax.Array,
     frame = frame.at[0, 0].set(first_res_frame)
 
     # Anchor per residue: N of residue 1 for residue 0, else C of residue i-1.
-    anchor = jnp.concatenate([bb[1:2, 0], bb[:-1, 2]], axis=0)  # (L, 3)
+    # A lone residue (L=1) has no neighbour to borrow from; fall back to its
+    # own C so the build is defined (the pipeline's MIN_LENGTH=2 means the
+    # trainer never hits this; predict tooling on L=1 gets a best-effort CB).
+    if L == 1:
+        anchor = bb[:, 2]
+    else:
+        anchor = jnp.concatenate([bb[1:2, 0], bb[:-1, 2]], axis=0)  # (L, 3)
+
+    # Frame-atom and chi selection as one-hot elementwise select-sums rather
+    # than gathers: a gather's VJP is a scatter-add, which dominated the
+    # round-1 step time (~3 ms of sidechain backward); the select-sum's VJP is
+    # the same select-sum transposed, all VPU elementwise work. No MXU matmul
+    # here on purpose: TPU default matmul precision (bf16) would cost ~3e-2 A.
+    frame_oh = jax.nn.one_hot(frame, 15, dtype=dtype)        # (L, 10, 3, 15)
+    # Resolved torsions: predicted chi (indexed by *source slot*, matching the
+    # reference's ang[6 + slot] lookup) or chemical constant, minus the
+    # statically-resolved pi offset for 'inferred' planar atoms
+    # (StructureBuilder.py:220-224).
+    chi_idx = jnp.clip(SC_ANGLES_START_POS + tsrc, 0, NUM_PREDICTED_ANGLES - 1)
+    chi_oh = jax.nn.one_hot(chi_idx, NUM_PREDICTED_ANGLES, dtype=dtype)
+    chi_vals = jnp.sum(chi_oh * angles[:, None, :], axis=-1)  # (L, 10)
+    torsions = jnp.where(ttype == ff.TORSION_PRED, chi_vals, tconst) - toff
 
     # Point buffer: 0..3 backbone, 4..13 sidechain (build order), 14 anchor.
     buf = jnp.zeros((L, 15, 3), dtype)
     buf = buf.at[:, :4].set(bb)
     buf = buf.at[:, 14].set(anchor)
 
-    # Resolved torsions: predicted chi (indexed by *source slot*, matching the
-    # reference's ang[6 + slot] lookup) or chemical constant, minus the
-    # statically-resolved pi offset for 'inferred' planar atoms
-    # (StructureBuilder.py:220-224).
-    chi_gather = jnp.clip(SC_ANGLES_START_POS + tsrc, 0, NUM_PREDICTED_ANGLES - 1)
-    chi_vals = jnp.take_along_axis(angles, chi_gather, axis=1)  # (L, 10)
-    torsions = jnp.where(ttype == ff.TORSION_PRED, chi_vals, tconst) - toff
-
     # Sequential only across the <=10 slots (each atom's frame may use
-    # earlier sidechain atoms); a loop (vs unrolling) keeps the compiled
-    # graph ~10x smaller.
-    slot_frames = jnp.transpose(frame, (1, 0, 2))      # (10, L, 3)
-    blen_t = blen.T                                     # (10, L)
-    bang_t = bang.T
-    tors_t = torsions.T
-
-    def body(slot, buf_c):
-        idx = slot_frames[slot]                         # (L, 3)
-        abc = jnp.take_along_axis(buf_c, idx[:, :, None], axis=1)
+    # earlier sidechain atoms). Fully unrolled: 10 static slots of fused
+    # elementwise work differentiate far better than a scanned loop.
+    for slot in range(ff.MAX_SC_ATOMS):
+        # (L, 3, 15, 1) x (L, 1, 15, 3) -> (L, 3, 3) frame atoms a, b, c.
+        abc = jnp.sum(frame_oh[:, slot][..., None] * buf[:, None, :, :],
+                      axis=2)
         pt = nerf(abc[:, 0], abc[:, 1], abc[:, 2],
-                  blen_t[slot], bang_t[slot], tors_t[slot])
+                  blen[:, slot], bang[:, slot], torsions[:, slot])
         pt = jnp.where((slot < n_sc)[:, None], pt, 0.0)
-        return jax.lax.dynamic_update_slice(
-            buf_c, pt[:, None, :], (0, 4 + slot, 0))
-
-    buf = jax.lax.fori_loop(0, ff.MAX_SC_ATOMS, body, buf, unroll=2)
+        buf = buf.at[:, 4 + slot].set(pt)
     return buf[:, :NUM_PREDICTED_COORDS]
 
 
