@@ -51,6 +51,9 @@ class TrainConfig:
     backbone_loss: bool = False
     bins: int = -1                           # -1 -> 'auto'
     train_eval_downsample: float = 0.10
+    # Probe the largest batch size that fits (HBM OOM frontier) before
+    # training and use 0.8x of it (reference: train.py:532-551 + -adbs).
+    automatically_determine_batch_size: bool = False
 
     # Model
     model: str = "enc-only"

@@ -273,9 +273,13 @@ class DataModule:
                                   self.max_seq_len,
                                   batch_multiple=self.batch_multiple)
             return
+        # Residue budget uses the MAX_SEQ_LEN constant, matching the
+        # reference's `batch_size * MAX_SEQ_LEN` (dataset.py:249) even when
+        # the loaded dataset's own max length is smaller -- otherwise per-bin
+        # batch sizes would shrink on short-protein datasets.
         sampler = binned_batch_sampler(
             self.train, cfg.batch_size,
-            dynamic_batch=cfg.batch_size * self.max_seq_len,
+            dynamic_batch=cfg.batch_size * MAX_SEQ_LEN,
             rng=rng, repeat_train=cfg.repeat_train)
         for idx in sampler:
             yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len,

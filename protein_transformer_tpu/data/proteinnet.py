@@ -197,12 +197,16 @@ def align_observed_to_mask(primary: str, mask: list[int], observed_seq: str,
     """Scatter observed per-residue data into full-length NaN-padded arrays.
 
     Fast path (align_dataset_to_proteinnet.can_be_directly_merged): the
-    observed sequence equals primary restricted to mask==1. Fallback: search
-    for the observed sequence as a single contig of primary; ambiguous
-    matches raise ContigMultipleMatchingError, no match raises
-    MaskAlignmentError.
+    observed sequence equals primary restricted to mask==1. Fallbacks, in
+    order: the observed sequence as a single unambiguous contig of primary
+    (ambiguity raises ContigMultipleMatchingError); then gap-scored
+    Needleman-Wunsch repair deriving a corrected mask for multi-contig
+    mismatches (align_dataset_to_proteinnet.py:16-77 behavior, see
+    data/align.py). No embedding at all raises MaskAlignmentError.
     Returns (ang (L, 12), crd (L*14, 3)) NaN-filled outside the mask.
     """
+    from protein_transformer_tpu.data.align import compute_alignment_mask
+
     L = len(primary)
     mask = list(mask) if mask is not None else [1] * L
     if len(mask) != L:
@@ -214,12 +218,17 @@ def align_observed_to_mask(primary: str, mask: list[int], observed_seq: str,
         positions = sel
     else:
         first = primary.find(observed_seq)
-        if first < 0:
-            raise MaskAlignmentError(
-                "observed residues do not match the masked primary sequence")
-        if primary.find(observed_seq, first + 1) >= 0:
-            raise ContigMultipleMatchingError(observed_seq[:20])
-        positions = list(range(first, first + len(observed_seq)))
+        if first >= 0:
+            if primary.find(observed_seq, first + 1) >= 0:
+                raise ContigMultipleMatchingError(observed_seq[:20])
+            positions = list(range(first, first + len(observed_seq)))
+        else:
+            repaired = compute_alignment_mask(primary, observed_seq)
+            if repaired is None:
+                raise MaskAlignmentError(
+                    "observed residues cannot be embedded in the primary "
+                    "sequence")
+            positions = [i for i, c in enumerate(repaired) if c == "+"]
 
     ang = np.full((L, observed_ang.shape[1]), np.nan, np.float32)
     crd = np.full((L * NUM_PREDICTED_COORDS, 3), np.nan, np.float32)

@@ -1,0 +1,151 @@
+"""Pure-Python glTF binary (.glb) export of all-atom structures.
+
+The reference renders 3-D artifacts by driving PyMOL to export gltf/PSE/PNG
+(reference: PDB_Creator.py:174-212, log.py:310-356) and logs them to wandb as
+``Object3D``. PyMOL is a heavyweight binary dependency; this module writes a
+valid glTF 2.0 binary directly from (L, 14, 3) coordinates with real bond
+topology derived from the ff14SB build tables (each sidechain atom bonds to
+the frame atom it was extended from), restoring ``wandb.Object3D`` parity
+with zero dependencies.
+
+The mesh is a LINES primitive (mode 1): one vertex per existing atom, one
+line segment per covalent bond (backbone N-CA-C(-O) chains, peptide C-N
+links, and sidechain chains), with per-vertex colors distinguishing backbone
+(steel blue) from sidechain (amber) atoms.
+"""
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+from protein_transformer_tpu.protein import _ff14sb as ff
+from protein_transformer_tpu.protein.constants import NUM_PREDICTED_COORDS
+
+_BB_COLOR = (0.27, 0.51, 0.71, 1.0)   # backbone: steel blue
+_SC_COLOR = (1.00, 0.75, 0.15, 1.0)   # sidechain: amber
+
+_MAGIC = 0x46546C67  # "glTF"
+_CHUNK_JSON = 0x4E4F534A
+_CHUNK_BIN = 0x004E4942
+
+
+def structure_bonds(seq_ids: np.ndarray) -> np.ndarray:
+    """Covalent bonds of a protein as (n_bonds, 2) indices into the flat
+    (L*14) atom-slot layout. Missing/padded atoms are NOT filtered here --
+    callers intersect with their atom mask.
+    """
+    seq_ids = np.asarray(seq_ids)
+    length = len(seq_ids)
+    aa = np.clip(seq_ids, 0, ff.SC_NUM_ATOMS.shape[0] - 1)
+    n_sc = np.asarray(ff.SC_NUM_ATOMS)[aa]              # (L,)
+    frame = np.asarray(ff.SC_FRAME_IDX)[aa]             # (L, 10, 3)
+
+    bonds = []
+    for i in range(length):
+        base = i * NUM_PREDICTED_COORDS
+        bonds += [(base + 0, base + 1),                 # N-CA
+                  (base + 1, base + 2),                 # CA-C
+                  (base + 2, base + 3)]                 # C=O
+        if i + 1 < length:                              # peptide bond C-N
+            bonds.append((base + 2, base + NUM_PREDICTED_COORDS + 0))
+        for s in range(int(n_sc[i])):
+            # each sidechain atom extends from its frame's third atom c
+            # (geometry.build_sidechains); buffer idx 0-3 = backbone,
+            # 4-13 = sidechain slots, 14 = anchor (previous C / next N --
+            # skip: that bond is already the peptide link above).
+            c = int(frame[i, s, 2])
+            if c == ff.ANCHOR_IDX:
+                continue
+            bonds.append((base + c, base + 4 + s))
+    return np.asarray(bonds, np.int64).reshape(-1, 2)
+
+
+def coords_to_glb(coords: np.ndarray, seq_ids: np.ndarray,
+                  atom_mask: np.ndarray | None = None) -> bytes:
+    """(L, 14, 3) coordinates -> glTF 2.0 binary blob.
+
+    atom_mask: optional (L, 14) bool; absent atoms (and their bonds) are
+    dropped. Vertices carry COLOR_0 (backbone vs sidechain).
+    """
+    coords = np.asarray(coords, np.float32).reshape(-1, 3)
+    length = len(seq_ids)
+    n = length * NUM_PREDICTED_COORDS
+    if atom_mask is None:
+        atom_mask = np.isfinite(coords).all(-1) & (np.abs(coords).sum(-1) > 0)
+    else:
+        atom_mask = np.asarray(atom_mask).reshape(-1).astype(bool)
+
+    # compact vertices to existing atoms
+    new_index = np.full(n, -1, np.int64)
+    new_index[atom_mask] = np.arange(atom_mask.sum())
+    positions = np.nan_to_num(coords[atom_mask]).astype("<f4")
+
+    bonds = structure_bonds(seq_ids)
+    keep = atom_mask[bonds[:, 0]] & atom_mask[bonds[:, 1]]
+    indices = new_index[bonds[keep]].astype("<u4").reshape(-1)
+
+    slot = np.tile(np.arange(NUM_PREDICTED_COORDS), length)[atom_mask]
+    colors = np.where((slot < 4)[:, None],
+                      np.array(_BB_COLOR, np.float32),
+                      np.array(_SC_COLOR, np.float32)).astype("<f4")
+
+    pos_bytes = positions.tobytes()
+    col_bytes = colors.tobytes()
+    idx_bytes = indices.tobytes()
+
+    def _pad4(b: bytes, fill: bytes = b"\x00") -> bytes:
+        return b + fill * (-len(b) % 4)
+
+    pos_off = 0
+    col_off = pos_off + len(_pad4(pos_bytes))
+    idx_off = col_off + len(_pad4(col_bytes))
+    bin_blob = _pad4(pos_bytes) + _pad4(col_bytes) + _pad4(idx_bytes)
+
+    gltf = {
+        "asset": {"version": "2.0",
+                  "generator": "protein-transformer-tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "COLOR_0": 1},
+            "indices": 2,
+            "mode": 1,  # LINES
+        }]}],
+        "buffers": [{"byteLength": len(bin_blob)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": pos_off,
+             "byteLength": len(pos_bytes), "target": 34962},
+            {"buffer": 0, "byteOffset": col_off,
+             "byteLength": len(col_bytes), "target": 34962},
+            {"buffer": 0, "byteOffset": idx_off,
+             "byteLength": len(idx_bytes), "target": 34963},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(positions),
+             "type": "VEC3",
+             "min": [float(v) for v in positions.min(0)] if len(positions)
+             else [0, 0, 0],
+             "max": [float(v) for v in positions.max(0)] if len(positions)
+             else [0, 0, 0]},
+            {"bufferView": 1, "componentType": 5126, "count": len(colors),
+             "type": "VEC4"},
+            {"bufferView": 2, "componentType": 5125, "count": len(indices),
+             "type": "SCALAR"},
+        ],
+    }
+    json_blob = _pad4(json.dumps(gltf, separators=(",", ":")).encode(), b" ")
+
+    total = 12 + 8 + len(json_blob) + 8 + len(bin_blob)
+    out = struct.pack("<III", _MAGIC, 2, total)
+    out += struct.pack("<II", len(json_blob), _CHUNK_JSON) + json_blob
+    out += struct.pack("<II", len(bin_blob), _CHUNK_BIN) + bin_blob
+    return out
+
+
+def save_glb(path: str, coords: np.ndarray, seq_ids: np.ndarray,
+             atom_mask: np.ndarray | None = None) -> None:
+    with open(path, "wb") as f:
+        f.write(coords_to_glb(coords, seq_ids, atom_mask))

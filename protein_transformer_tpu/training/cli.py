@@ -61,7 +61,9 @@ def create_parser() -> argparse.ArgumentParser:
                    help="(ignored: dRMSD is always in-step on TPU)")
     t.add_argument("--automatically_determine_batch_size", "-adbs",
                    type=my_bool, default="False",
-                   help="(ignored: static bucketed shapes)")
+                   help="Probe the largest batch size that fits on device "
+                        "before training and use 0.8x of it "
+                        "(reference train.py:532-551).")
 
     m = p.add_argument_group("Model Args")
     m.add_argument("-m", "--model", default="enc-only")
@@ -118,6 +120,18 @@ def main(argv=None):
         "Model names must not contain '_' (conflicts with structure files)."
     from protein_transformer_tpu.training.trainer import Trainer
     trainer = Trainer(cfg)
+    if cfg.automatically_determine_batch_size:
+        # Probe the OOM frontier at the max bucketed length, then rebuild the
+        # trainer at 0.8x of it (reference: train.py:532-551, where a child
+        # process's exit code carries the answer; on TPU the probe runs
+        # in-process because XLA surfaces RESOURCE_EXHAUSTED as an exception).
+        from protein_transformer_tpu.training.batch_probe import (
+            probe_trainer_batch_size)
+        b = probe_trainer_batch_size(trainer)
+        print(f"[Info] automatically determined batch size: {b}")
+        cfg = dataclasses.replace(
+            cfg, batch_size=b, automatically_determine_batch_size=False)
+        trainer = Trainer(cfg)
     trainer.train()
 
 

@@ -57,7 +57,11 @@ def update_batch(metrics: dict, mode: str, losses: dict, n_res: int,
         val = float(losses.get(key, 0.0) or 0.0)
         m[f"batch-{key}"] = val
         if key in ("drmsd-bb", "lndrmsd-bb", "mse-bb", "mse-sc"):
-            m[f"epoch-{key}"] = val  # reference overwrites, not accumulates
+            # bug-compatible with the reference: bb/sc epoch values are
+            # overwritten each batch (log.py:414-421) and then still divided
+            # by n_batches at epoch end (log.py:468-471), so the logged epoch
+            # value is last-batch/n -- reproduced exactly for comparability.
+            m[f"epoch-{key}"] = val
         else:
             m[f"epoch-{key}"] += val
     now = time.time()
@@ -74,7 +78,8 @@ def end_of_epoch(metrics: dict, mode: str) -> dict:
     log.py:439-466)."""
     m = metrics[mode]
     n = max(metrics["n_batches"], 1)
-    for key in ("drmsd-full", "lndrmsd-full", "mse-full", "rmsd-full"):
+    for key in ("drmsd-full", "lndrmsd-full", "mse-full", "rmsd-full",
+                "drmsd-bb", "lndrmsd-bb", "mse-bb", "mse-sc"):
         m[f"epoch-{key}"] /= n
     if m["epoch-drmsd-full"] == 0:
         m["epoch-combined-full"] = 0.0
@@ -115,7 +120,11 @@ class CsvLogger:
                m.get(f"{be}-rmsd-full", 0.0)]
         if self.loss == "combined":
             row.append(m.get(f"{be}-combined-full", 0.0))
-        row += [metrics["history-lr"][-1], mode, "epoch",
+        # Deliberate deviation: the reference writes granularity="epoch" on
+        # every row (log.py:130), which makes the column useless to its own
+        # analysis tooling; we record the real granularity so epoch rows can
+        # be selected (ptt_scripts/analyze.py relies on this).
+        row += [metrics["history-lr"][-1], mode, be,
                 round(time.time() - start_time, 4), m.get("speed", 0.0)]
         self._writer.writerow(row)
 

@@ -2,11 +2,14 @@
 
 Every ``log_structure_step`` train batches, the last batch item's predicted
 angles are rebuilt to coordinates and written as pred/true PDB pairs under
-``<out_dir>/structures/<name>/``. Writing happens on a background thread so
+``<out_dir>/structures/<name>/``, plus a glTF binary (.glb) with real bond
+topology -- the PyMOL-free equivalent of the reference's gltf export
+(PDB_Creator.py:186-212). With ``save_pngs`` a matplotlib 3-D render of the
+predicted-vs-true backbone traces is written too (reference: ray-traced PNG
+via PyMOL, PDB_Creator.py:174-184). Writing happens on a background thread so
 the device step never blocks on host I/O (the reference rebuilds coordinates
-on the host inside the training loop). PyMOL gltf/png/pse export is not
-reproduced -- PDB files are the portable artifact; wandb (optional) logs them
-as Molecule objects.
+on the host inside the training loop). wandb (optional) logs Molecule +
+Object3D (+ Image for PNGs), matching log.py:310-356.
 """
 from __future__ import annotations
 
@@ -15,15 +18,43 @@ import queue
 import threading
 import numpy as np
 
+from protein_transformer_tpu.protein.gltf import save_glb
 from protein_transformer_tpu.protein.pdb import PdbWriter
 from protein_transformer_tpu.protein.vocab import VOCAB
 
 
+def render_structure_png(path: str, pred_crd: np.ndarray,
+                         true_crd: np.ndarray | None = None,
+                         true_mask: np.ndarray | None = None) -> None:
+    """3-D backbone-trace render (pred solid, true dashed) to a PNG file."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(projection="3d")
+    ca = pred_crd[:, 1]  # CA trace
+    ax.plot(ca[:, 0], ca[:, 1], ca[:, 2], color="#4682B4", lw=2,
+            label="pred")
+    if true_crd is not None:
+        tca = true_crd[:, 1].copy()
+        if true_mask is not None:
+            tca = np.where(true_mask[:, 1, None], tca, np.nan)
+        ax.plot(tca[:, 0], tca[:, 1], tca[:, 2], color="#FFBF26", lw=2,
+                ls="--", label="true")
+    ax.set_axis_off()
+    ax.legend(loc="upper right")
+    fig.tight_layout()
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 class StructureLogger:
-    def __init__(self, out_dir: str, wandb_run=None):
+    def __init__(self, out_dir: str, wandb_run=None, save_pngs: bool = False):
         self.dir = os.path.join(out_dir, "structures")
         os.makedirs(self.dir, exist_ok=True)
         self.wandb_run = wandb_run
+        self.save_pngs = save_pngs
         self._q: queue.Queue = queue.Queue(maxsize=4)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -48,14 +79,31 @@ class StructureLogger:
         os.makedirs(sub, exist_ok=True)
         pred_path = os.path.join(sub, f"{step:05d}_pred.pdb")
         PdbWriter(pred_crd[:li], seq_str).save_pdb(pred_path, title="pred")
+        glb_path = os.path.join(sub, f"{step:05d}_pred.glb")
+        save_glb(glb_path, pred_crd[:li], seq_ids[sel])
         true_path = os.path.join(sub, "true.pdb")
         if not os.path.exists(true_path):
             masked = np.where(true_mask[:li, :, None], true_crd[:li], np.nan)
             PdbWriter(masked, seq_str).save_pdb(true_path, title="true")
+            save_glb(os.path.join(sub, "true.glb"), true_crd[:li],
+                     seq_ids[sel], atom_mask=true_mask[:li])
+        png_path = None
+        if self.save_pngs:
+            png_path = os.path.join(sub, f"{step:05d}.png")
+            try:
+                render_structure_png(png_path, pred_crd[:li], true_crd[:li],
+                                     true_mask[:li])
+            except Exception as e:
+                print(f"[structure-log] png render failed: {e}")
+                png_path = None
         if self.wandb_run is not None:
             import wandb
-            self.wandb_run.log({f"{name}_mol": wandb.Molecule(pred_path)},
-                               commit=False)
+            payload = {f"{name}_mol": wandb.Molecule(pred_path),
+                       f"{name}_3d": wandb.Object3D(open(glb_path, "rb"),
+                                                    file_type="glb")}
+            if png_path:
+                payload[f"{name}_png"] = wandb.Image(png_path)
+            self.wandb_run.log(payload, commit=False)
 
     def log(self, step: int, name: str, seq_ids: np.ndarray,
             pred_crd: np.ndarray, true_crd: np.ndarray,

@@ -55,11 +55,13 @@ class TrainState:
 
 def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
                    rngs=None, deterministic=True, with_drmsd=None,
-                   with_rmsd=False):
+                   with_rmsd=False, with_pred=False):
     """All batch losses (reference get_losses, train.py:57-111).
 
     Returns (training_loss, dict of scalar metrics). MSE losses are always
     computed; dRMSD family only when training on it or evaluating.
+    with_pred additionally returns the (B, L, 24) predictions under "pred"
+    (for wandb angle histograms, log.py:210-227).
     """
     if with_drmsd is None:
         with_drmsd = cfg.loss in DRMSD_LOSSES
@@ -110,6 +112,8 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
                                             batch.crd_mask,
                                             batch.protein_mask)
     out["loss"] = loss
+    if with_pred:
+        out["pred"] = pred
     return loss, out
 
 
@@ -154,7 +158,8 @@ class Trainer:
         self.out_dir = out_dir
         self.ckpt = CheckpointManager(os.path.join(out_dir, "checkpoints"))
         self.wandb_run = None
-        self.structure_logger = StructureLogger(out_dir)
+        self.structure_logger = StructureLogger(out_dir,
+                                                save_pngs=cfg.save_pngs)
         # persist config + angle means for predict/analysis tooling
         import json as _json
         with open(os.path.join(out_dir, "config.json"), "w") as f:
@@ -213,12 +218,18 @@ class Trainer:
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(state_params, opt_state, step_no, batch: Batch, rng,
                  lr_scale):
-            rngs = {"dropout": jax.random.fold_in(rng, step_no),
-                    "sampling": jax.random.fold_in(rng, step_no + 1)}
+            # Disjoint stream domains: fold in a distinct constant per stream
+            # before the step counter, so the 'sampling' key of step N can
+            # never collide with the 'dropout' key of step N+1.
+            rngs = {"dropout": jax.random.fold_in(
+                        jax.random.fold_in(rng, 0), step_no),
+                    "sampling": jax.random.fold_in(
+                        jax.random.fold_in(rng, 1), step_no)}
 
             def loss_fn(p):
                 return compute_losses(model, p, batch, cfg, rngs=rngs,
-                                      deterministic=False)
+                                      deterministic=False,
+                                      with_pred=cfg.use_wandb)
 
             (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state_params)
@@ -304,6 +315,7 @@ class Trainer:
                 state.params, state.opt_state, state.step, batch_dev,
                 self.rng, lr_scale)
             state = TrainState(params, opt_state, step_no)
+            pred_out = out.pop("pred", None)
             out_host = {k: float(v) for k, v in out.items()}
             if not np.isfinite(out_host["loss"]):
                 raise FloatingPointError(
@@ -322,6 +334,12 @@ class Trainer:
                                   int(batch.protein_mask.sum()),
                                   self.metrics["train"]["speed"],
                                   lr=self.metrics["history-lr"][-1])
+                if pred_out is not None:
+                    # predicted-angle histograms on the wandb cadence
+                    # (log.py:210-227)
+                    W.log_angle_histograms(self.wandb_run,
+                                           np.asarray(pred_out),
+                                           batch.seq, cfg.pad_id)
             if (cfg.log_structure_step
                     and step_i % cfg.log_structure_step == 0):
                 self._log_structure(state, batch, step_i)
@@ -385,6 +403,7 @@ class Trainer:
                            for p in jax.tree.leaves(state.params))
             self.wandb_run = W.try_init_wandb(cfg, n_params,
                                               self.dm.angle_means)
+            self.structure_logger.wandb_run = self.wandb_run
         logger = M.CsvLogger(
             os.path.join(self.out_dir, (cfg.name or "run") + ".train"),
             cfg.loss, resume=self.start_epoch > 0)

@@ -1,0 +1,133 @@
+"""Observability parity: glb export, PNG rendering, CSV granularity,
+epoch metric semantics, angle-histogram plumbing."""
+import csv
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from protein_transformer_tpu.protein.gltf import coords_to_glb, structure_bonds
+from protein_transformer_tpu.protein.constants import NUM_PREDICTED_COORDS
+from protein_transformer_tpu.training import metrics as M
+
+
+def _random_structure(length=11, seed=0):
+    rng = np.random.default_rng(seed)
+    seq = rng.integers(0, 20, (length,)).astype(np.int32)
+    crd = rng.normal(size=(length, NUM_PREDICTED_COORDS, 3)).astype(np.float32)
+    import protein_transformer_tpu.protein._ff14sb as ff
+    n_sc = np.asarray(ff.SC_NUM_ATOMS)[seq]
+    mask = np.zeros((length, NUM_PREDICTED_COORDS), bool)
+    mask[:, :4] = True
+    for i in range(length):
+        mask[i, 4:4 + n_sc[i]] = True
+    return seq, crd, mask
+
+
+def test_glb_is_valid_gltf_binary():
+    seq, crd, mask = _random_structure()
+    blob = coords_to_glb(crd, seq, mask)
+    magic, version, total = struct.unpack_from("<III", blob, 0)
+    assert magic == 0x46546C67 and version == 2 and total == len(blob)
+    json_len, json_type = struct.unpack_from("<II", blob, 12)
+    assert json_type == 0x4E4F534A
+    doc = json.loads(blob[20:20 + json_len])
+    assert doc["asset"]["version"] == "2.0"
+    n_atoms = int(mask.sum())
+    assert doc["accessors"][0]["count"] == n_atoms
+    assert doc["meshes"][0]["primitives"][0]["mode"] == 1  # LINES
+    # bin chunk exists and is 4-aligned
+    bin_off = 20 + json_len
+    bin_len, bin_type = struct.unpack_from("<II", blob, bin_off)
+    assert bin_type == 0x004E4942
+    assert bin_off + 8 + bin_len == len(blob)
+    # all line indices reference valid vertices
+    idx_acc = doc["accessors"][2]
+    assert idx_acc["count"] % 2 == 0
+    positions = np.frombuffer(
+        blob, "<f4", count=n_atoms * 3, offset=bin_off + 8).reshape(-1, 3)
+    assert np.isfinite(positions).all()
+
+
+def test_structure_bonds_topology():
+    seq = np.array([8, 0, 18], np.int32)  # LEU(?) / ALA-like / TRP-class ids
+    bonds = structure_bonds(seq)
+    # backbone: 3 intra-residue bonds per residue + 2 peptide links; every
+    # sidechain atom bonds to the frame atom it extends from (CB's is CA)
+    import protein_transformer_tpu.protein._ff14sb as ff
+    n_sc = np.asarray(ff.SC_NUM_ATOMS)[seq]
+    expected = 3 * 3 + 2 + int(n_sc.sum())
+    assert len(bonds) == expected
+    assert (bonds >= 0).all()
+    assert (bonds < 3 * NUM_PREDICTED_COORDS).all()
+    # no self-bonds
+    assert (bonds[:, 0] != bonds[:, 1]).all()
+
+
+def test_render_png(tmp_path):
+    pytest.importorskip("matplotlib")
+    from protein_transformer_tpu.training.structure_logging import (
+        render_structure_png)
+    seq, crd, mask = _random_structure()
+    out = tmp_path / "s.png"
+    render_structure_png(str(out), crd, crd, mask)
+    assert out.exists() and out.stat().st_size > 1000
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_structure_logger_writes_glb_and_png(tmp_path):
+    from protein_transformer_tpu.training.structure_logging import (
+        StructureLogger)
+    seq, crd, mask = _random_structure()
+    logger = StructureLogger(str(tmp_path), save_pngs=True)
+    logger.log(7, "train", seq, crd, crd, mask)
+    logger.close()
+    sub = tmp_path / "structures" / "train"
+    assert (sub / "00007_pred.pdb").exists()
+    assert (sub / "00007_pred.glb").exists()
+    assert (sub / "true.glb").exists()
+    assert (sub / "00007.png").exists()
+
+
+def test_csv_logger_granularity(tmp_path):
+    path = str(tmp_path / "x.train")
+    metrics = M.init_metrics(["train"])
+    metrics = M.reset_for_epoch(metrics, "train")
+    logger = M.CsvLogger(path, "mse")
+    losses = {k: 1.0 for k in M.LOSS_KEYS}
+    losses["loss"] = 1.0
+    metrics = M.update_batch(metrics, "train", losses, 100, tracking_loss=1.0)
+    logger.log(metrics, "train", 0.0)
+    metrics = M.end_of_epoch(metrics, "train")
+    logger.log(metrics, "train", 0.0, end_of_epoch=True)
+    logger.close()
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["granularity"] for r in rows] == ["batch", "epoch"]
+    # analyze.py's epoch filter now selects exactly the epoch rows
+    import sys
+    sys.path.insert(0, "ptt_scripts")
+    try:
+        import analyze
+    finally:
+        sys.path.remove("ptt_scripts")
+    _h, _c, epoch_rows = analyze.read_epoch_rows(path, "train")
+    assert len(epoch_rows) == 1
+
+
+def test_epoch_bb_metrics_divided_by_n_batches():
+    """Bug-compatible with the reference: bb/sc epoch values are the LAST
+    batch value divided by n_batches (log.py:414-421 overwrite +
+    log.py:468-471 division)."""
+    metrics = M.init_metrics(["train"])
+    metrics = M.reset_for_epoch(metrics, "train")
+    for val in (3.0, 5.0):
+        losses = {k: val for k in M.LOSS_KEYS}
+        metrics = M.update_batch(metrics, "train", losses, 10)
+    metrics = M.end_of_epoch(metrics, "train")
+    m = metrics["train"]
+    assert m["epoch-drmsd-bb"] == pytest.approx(5.0 / 2)
+    assert m["epoch-mse-sc"] == pytest.approx(5.0 / 2)
+    # full metrics accumulate-and-average as before
+    assert m["epoch-drmsd-full"] == pytest.approx((3.0 + 5.0) / 2)

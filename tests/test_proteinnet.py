@@ -142,3 +142,20 @@ def test_build_dataset_end_to_end(tmp_path):
     assert batch.seq.shape[1] == 32
     # angles measured from coordinates produce usable masks
     assert batch.ang_mask.any()
+
+
+def test_align_multi_contig_repair():
+    """Multi-contig mismatches are repaired with a gap-scored alignment
+    instead of being discarded (align_dataset_to_proteinnet capability)."""
+    primary = "MKTWGGGHRLVNPPPIKQ"
+    observed = "KTW" + "RLVN" + "IKQ"  # 3 contigs; recorded mask is wrong
+    n = len(observed)
+    ang = np.arange(n * 12, dtype=np.float32).reshape(n, 12)
+    crd = np.arange(n * 14 * 3, dtype=np.float32).reshape(n * 14, 3)
+    ang_f, crd_f = pn.align_observed_to_mask(primary, [1] * len(primary),
+                                             observed, ang, crd)
+    # derived positions: KTW at 1-3, RLVN at 8-11, IKQ at 15-17
+    for j, pos in enumerate([1, 2, 3, 8, 9, 10, 11, 15, 16, 17]):
+        np.testing.assert_array_equal(ang_f[pos], ang[j])
+    assert np.isnan(ang_f[0]).all() and np.isnan(ang_f[4:8]).all()
+    assert np.isnan(ang_f[12:15]).all()

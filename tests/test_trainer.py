@@ -85,8 +85,11 @@ def test_restart_skips_restore(tmp_path, data):
 
 
 def test_noam_scheduling(tmp_path, data):
+    # repeat_train inflates the residue-budget sampler's epoch length so the
+    # epoch has several steps (budget is batch_size * MAX_SEQ_LEN=500, which
+    # swallows this tiny dataset in one batch -- reference dataset.py:249).
     cfg = small_cfg(tmp_path, lr_scheduling="noam", optimizer="adam",
-                    epochs=1)
+                    epochs=1, repeat_train=30)
     tr = Trainer(cfg, data=data)
     tr.train()
     lrs = tr.metrics["history-lr"]
