@@ -43,7 +43,13 @@ def main():
     trainer = Trainer(cfg, data=data)
     state = trainer.init_state()
     step_fn = trainer._train_step_fn()
-    batch = next(trainer.dm.train_batches(np.random.default_rng(0)))
+    # Collate exactly b proteins (the sampler's dynamic residue budget uses
+    # the reference MAX_SEQ_LEN=500 constant, so it would pick a different
+    # batch size for this workload).
+    from protein_transformer_tpu.data.dataset import collate
+    batch = collate(trainer.dm.train, np.arange(b), cfg.bucket_sizes,
+                    trainer.dm.max_seq_len,
+                    batch_multiple=trainer.dm.batch_multiple)
     assert batch.seq.shape == (b, l), batch.seq.shape
     from protein_transformer_tpu.parallel.mesh import shard_batch
     batch_dev = shard_batch(batch, trainer.mesh)

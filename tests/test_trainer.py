@@ -99,8 +99,10 @@ def test_noam_scheduling(tmp_path, data):
 
 
 def test_nan_watchdog(tmp_path, data):
+    # repeat_train: the NaN surfaces one step after the blow-up update, and
+    # the residue-budget sampler fits this tiny dataset in a single batch.
     cfg = small_cfg(tmp_path, learning_rate=1e9, epochs=1, optimizer="sgd",
-                    clip=0.0)
+                    clip=0.0, repeat_train=40)
     tr = Trainer(cfg, data=data)
     with pytest.raises(FloatingPointError):
         tr.train()
