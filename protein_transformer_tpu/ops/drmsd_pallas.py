@@ -42,22 +42,6 @@ def _pad_inputs(a, b, mask):
     return a.T, b.T, mask.astype(jnp.float32), n_pad
 
 
-def _tile_dists(pa, pb, ti, tj):
-    """Distance tiles (TILE, TILE) between row tile ti and col tile tj.
-
-    pa/pb: (3, N) coordinate planes in VMEM.
-    """
-    def tile_d(p):
-        xi = p[:, pl.ds(ti * _TILE, _TILE)]          # (3, T)
-        xj = p[:, pl.ds(tj * _TILE, _TILE)]          # (3, T)
-        d2 = jnp.zeros((_TILE, _TILE), jnp.float32)
-        for c in range(3):
-            diff = xi[c][:, None] - xj[c][None, :]
-            d2 = d2 + diff * diff
-        return jnp.sqrt(jnp.maximum(d2, _DIST_CLAMP))
-    return tile_d(pa), tile_d(pb)
-
-
 def _pair_mask(m_ref, ti, tj):
     mi = m_ref[0, pl.ds(ti * _TILE, _TILE)]
     mj = m_ref[0, pl.ds(tj * _TILE, _TILE)]
@@ -69,8 +53,10 @@ def _pair_mask(m_ref, ti, tj):
     return mi[:, None] * mj[None, :] * tri
 
 
-def _fwd_kernel(pa_ref, pb_ref, m_ref, out_ref):
-    """Grid cell (ti, tj): accumulate (sum, count) over the tile pair."""
+def _fwd_kernel_rsqrt(pa_ref, pb_ref, m_ref, out_ref):
+    """Grid cell (ti, tj): accumulate (sum, count) over the tile pair.
+
+    Distances in rsqrt form (D = d2 * rsqrt(d2)) -- no sqrt/divide ops."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
@@ -79,75 +65,85 @@ def _fwd_kernel(pa_ref, pb_ref, m_ref, out_ref):
         out_ref[0, 0] = 0.0
         out_ref[0, 1] = 0.0
 
-    @pl.when(tj >= ti)  # strictly-lower tile pairs contribute nothing
+    @pl.when(tj >= ti)
     def _():
-        da, db = _tile_dists(pa_ref, pb_ref, ti, tj)
+        def d_tile(p):
+            xi = p[:, pl.ds(ti * _TILE, _TILE)]
+            xj = p[:, pl.ds(tj * _TILE, _TILE)]
+            d2 = jnp.zeros((_TILE, _TILE), jnp.float32)
+            for c in range(3):
+                diff = xi[c][:, None] - xj[c][None, :]
+                d2 = d2 + diff * diff
+            d2 = jnp.maximum(d2, _DIST_CLAMP)
+            return d2 * jax.lax.rsqrt(d2)
+        da = d_tile(pa_ref)
+        db = d_tile(pb_ref)
         w = _pair_mask(m_ref, ti, tj)
         diff = da - db
         out_ref[0, 0] += jnp.sum(diff * diff * w)
         out_ref[0, 1] += jnp.sum(w)
 
 
-def _bwd_kernel(pa_ref, pb_ref, m_ref, da_out_ref):
-    """Row-tile ti gradient: dS/da_i = sum_j 2*w_ij*(Da-Db)/Da * (a_i-a_j).
+def _make_grad_kernel(wrt_a: bool):
+    """Build a row-tile gradient kernel for one of the two point sets.
 
-    Full row sweep per grid cell (ti,), accumulating the 3 gradient planes.
+    dS/da_i = sum_j  2*w_ij*(Da-Db)/Da * (a_i - a_j)      (wrt_a)
+    dS/db_i = sum_j -2*w_ij*(Da-Db)/Db * (b_i - b_j)      (not wrt_a)
+
+    The two gradients are deliberately SEPARATE pallas calls: in training
+    the true-coordinate side carries no gradient, and XLA dead-code-
+    eliminates the unused kernel entirely -- a fused both-sides kernel
+    would force computing it every step.
     """
-    ti = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
+    def kernel(pa_ref, pb_ref, m_ref, out_ref):
+        ti = pl.program_id(0)
+        n_tiles = pl.num_programs(0)
 
-    acc = jnp.zeros((3, _TILE), jnp.float32)
-
-    def body(tj, acc):
-        da, db = _tile_dists(pa_ref, pb_ref, ti, tj)
+        # Row-tile values depend only on ti: hoist out of the column sweep.
+        ai = [pa_ref[c, pl.ds(ti * _TILE, _TILE)] for c in range(3)]
+        bi = [pb_ref[c, pl.ds(ti * _TILE, _TILE)] for c in range(3)]
         mi = m_ref[0, pl.ds(ti * _TILE, _TILE)]
-        mj = m_ref[0, pl.ds(tj * _TILE, _TILE)]
         rows = ti * _TILE + jax.lax.broadcasted_iota(jnp.int32,
                                                      (_TILE, _TILE), 0)
-        cols = tj * _TILE + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (_TILE, _TILE), 1)
-        offdiag = (rows != cols).astype(jnp.float32)
-        w = mi[:, None] * mj[None, :] * offdiag
-        coef = 2.0 * w * (da - db) / da        # (T, T), symmetric pair sum
-        new = []
-        for c in range(3):
-            xi = pa_ref[c, pl.ds(ti * _TILE, _TILE)]
-            xj = pa_ref[c, pl.ds(tj * _TILE, _TILE)]
-            diff = xi[:, None] - xj[None, :]
-            new.append(acc[c] + jnp.sum(coef * diff, axis=1))
-        return jnp.stack(new)
 
-    acc = jax.lax.fori_loop(0, n_tiles, body, acc)
-    da_out_ref[:, :] = acc
+        def body(tj, acc):
+            # Coordinate-difference tiles are shared between the distance
+            # computation and the gradient contraction; rsqrt replaces the
+            # sqrt+divide pair (D = d2 * rsqrt(d2), 1/D = rsqrt(d2)).
+            da_c = [ai[c][:, None]
+                    - pa_ref[c, pl.ds(tj * _TILE, _TILE)][None, :]
+                    for c in range(3)]
+            db_c = [bi[c][:, None]
+                    - pb_ref[c, pl.ds(tj * _TILE, _TILE)][None, :]
+                    for c in range(3)]
+            d2a = da_c[0] * da_c[0] + da_c[1] * da_c[1] + da_c[2] * da_c[2]
+            d2b = db_c[0] * db_c[0] + db_c[1] * db_c[1] + db_c[2] * db_c[2]
+            ra = jax.lax.rsqrt(jnp.maximum(d2a, _DIST_CLAMP))
+            rb = jax.lax.rsqrt(jnp.maximum(d2b, _DIST_CLAMP))
+            mj = m_ref[0, pl.ds(tj * _TILE, _TILE)]
+            cols = tj * _TILE + jax.lax.broadcasted_iota(jnp.int32,
+                                                         (_TILE, _TILE), 1)
+            offdiag = (rows != cols).astype(jnp.float32)
+            w = mi[:, None] * mj[None, :] * offdiag
+            delta = w * (d2a * ra - d2b * rb)  # w * (Da - Db), symmetric
+            if wrt_a:
+                coef = 2.0 * delta * ra
+                diffs = da_c
+            else:
+                coef = -2.0 * delta * rb
+                diffs = db_c
+            return jnp.stack([acc[c] + jnp.sum(coef * diffs[c], axis=1)
+                              for c in range(3)])
+
+        acc = jax.lax.fori_loop(0, n_tiles, body,
+                                jnp.zeros((3, _TILE), jnp.float32))
+        out_ref[:, :] = acc
+
+    return kernel
 
 
-def _db_kernel(pa_ref, pb_ref, m_ref, db_out_ref):
-    """dS/db_i = sum_j -2*w_ij*(Da-Db)/Db * (b_i-b_j)."""
-    ti = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
-    acc = jnp.zeros((3, _TILE), jnp.float32)
-
-    def body(tj, acc):
-        da, db = _tile_dists(pa_ref, pb_ref, ti, tj)
-        mi = m_ref[0, pl.ds(ti * _TILE, _TILE)]
-        mj = m_ref[0, pl.ds(tj * _TILE, _TILE)]
-        rows = ti * _TILE + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (_TILE, _TILE), 0)
-        cols = tj * _TILE + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (_TILE, _TILE), 1)
-        offdiag = (rows != cols).astype(jnp.float32)
-        w = mi[:, None] * mj[None, :] * offdiag
-        coef = -2.0 * w * (da - db) / db
-        new = []
-        for c in range(3):
-            xi = pb_ref[c, pl.ds(ti * _TILE, _TILE)]
-            xj = pb_ref[c, pl.ds(tj * _TILE, _TILE)]
-            diff = xi[:, None] - xj[None, :]
-            new.append(acc[c] + jnp.sum(coef * diff, axis=1))
-        return jnp.stack(new)
-
-    acc = jax.lax.fori_loop(0, n_tiles, body, acc)
-    db_out_ref[:, :] = acc
+_bwd_kernel_a = _make_grad_kernel(wrt_a=True)
+_bwd_kernel_b = _make_grad_kernel(wrt_a=False)
 
 
 @jax.custom_vjp
@@ -168,7 +164,7 @@ def _stats_fwd_impl(a, b, mask):
     pa, pb, m, n_pad = _pad_inputs(a, b, mask)
     n_tiles = n_pad // _TILE
     out = pl.pallas_call(
-        _fwd_kernel,
+        _fwd_kernel_rsqrt,
         grid=(n_tiles, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -200,8 +196,8 @@ def _stats_bwd(res, cot):
         out_specs=pl.BlockSpec((3, _TILE), lambda ti: (0, ti),
                                memory_space=pltpu.VMEM),
     )
-    ga = pl.pallas_call(_bwd_kernel, **common)(pa, pb, m[None, :])
-    gb = pl.pallas_call(_db_kernel, **common)(pa, pb, m[None, :])
+    ga = pl.pallas_call(_bwd_kernel_a, **common)(pa, pb, m[None, :])
+    gb = pl.pallas_call(_bwd_kernel_b, **common)(pa, pb, m[None, :])
     ga = (ga.T[:n] * ds).astype(a.dtype)
     gb = (gb.T[:n] * ds).astype(b.dtype)
     return ga, gb, jnp.zeros_like(mask)

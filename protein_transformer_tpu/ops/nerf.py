@@ -107,23 +107,43 @@ def compose_rigid(left: tuple[jax.Array, jax.Array],
     return r, t
 
 
-def chain_positions(r0: jax.Array, t0: jax.Array,
-                    lengths: jax.Array, thetas: jax.Array,
-                    chis: jax.Array) -> jax.Array:
-    """All atom positions of a NeRF chain via parallel prefix composition.
+def chain_positions_grouped(r0: jax.Array, t0: jax.Array,
+                            lengths: jax.Array, thetas: jax.Array,
+                            chis: jax.Array) -> jax.Array:
+    """Backbone-chain positions with per-residue transform pre-composition.
 
-    r0: (3, 3) initial frame (columns x/y/z built from the 3 seed atoms),
-    t0: (3,) position of the last seed atom,
-    lengths/thetas/chis: (K,) internal coordinates of the K extensions.
+    lengths/thetas/chis: (K, G) internal coordinates -- K residue steps of G
+    chained extensions each (G=3 for the N/CA/C mainchain). Equivalent to a
+    flat prefix-composition scan over the (K*G,) extension chain, but the
+    associative scan runs over K pre-composed residue transforms instead of
+    K*G atom transforms: ~G x less scan work and ~G x fewer fusion ops, which
+    matters because the builder's cost is op-dispatch-bound, not FLOP-bound.
 
-    Returns (K, 3) global positions of the K extended atoms. Work is
-    O(K log K) tiny matmuls with O(log K) depth (associative_scan), replacing
-    a K-step sequential dependency.
+    Returns (K, G, 3) global positions of every extended atom.
     """
-    r, t = extension_transform(lengths, thetas, chis)
-    pr, pt = jax.lax.associative_scan(compose_rigid, (r, t))
-    # Global position of atom k: t0 + r0 @ pt_k
-    return t0 + jnp.einsum("ij,kj->ki", r0, pt, precision=_HIGHEST)
+    k, g = lengths.shape
+    dtype = lengths.dtype
+    r, t = extension_transform(lengths, thetas, chis)  # (K, G, 3, 3), (K, G, 3)
+
+    # Prefix-compose the G extensions inside each residue step: cum[a] is
+    # E1 o ... o E(a+1), so cum[G-1] is the whole residue's transform.
+    cum = [(r[:, 0], t[:, 0])]
+    for a in range(1, g):
+        cum.append(compose_rigid(cum[-1], (r[:, a], t[:, a])))
+    local_t = jnp.stack([c[1] for c in cum], axis=1)   # (K, G, 3)
+
+    # Prefix transforms across residue steps; P_prev[i] = P_0 o ... o P_{i-1}
+    # (identity for i=0).
+    pr, pt = jax.lax.associative_scan(compose_rigid, cum[-1])
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (1, 3, 3))
+    pr_prev = jnp.concatenate([eye, pr[:-1]])
+    pt_prev = jnp.concatenate([jnp.zeros((1, 3), dtype), pt[:-1]])
+
+    # Atom a of residue step i sits at P_prev_i o (E1..E(a+1)) applied to the
+    # origin: pt_prev + pr_prev @ local_t, then mapped through the seed frame.
+    local = pt_prev[:, None, :] + jnp.einsum(
+        "kij,kaj->kai", pr_prev, local_t, precision=_HIGHEST)
+    return t0 + jnp.einsum("ij,kaj->kai", r0, local, precision=_HIGHEST)
 
 
 def frame_from_points(a: jax.Array, b: jax.Array, c: jax.Array) -> jax.Array:

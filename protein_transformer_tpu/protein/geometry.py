@@ -7,8 +7,8 @@ Instead of a per-residue object graph run in forked CPU worker processes
 differentiable, and vectorizable with ``jax.vmap`` over a batch:
 
 1. Backbone mainchain (N, CA, C)*L: a single NeRF chain of 3L-3 extensions,
-   computed with parallel prefix composition of rigid transforms
-   (``ops.nerf.chain_positions``) -- O(log L) depth on device.
+   computed with parallel prefix composition of per-residue rigid transforms
+   (``ops.nerf.chain_positions_grouped``) -- O(log L) depth on device.
 2. Carbonyl oxygens: one independent NeRF placement per residue (vectorized).
 3. Sidechains: up to 10 chained NeRF placements per residue, driven entirely
    by dense per-AA tables (``_ff14sb``); sequential only *within* a residue
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from protein_transformer_tpu.ops.nerf import (
-    chain_positions, frame_from_points, nerf)
+    chain_positions_grouped, frame_from_points, nerf)
 from protein_transformer_tpu.protein import _ff14sb as ff
 from protein_transformer_tpu.protein.constants import (
     NUM_PREDICTED_ANGLES, NUM_PREDICTED_COORDS, SC_ANGLES_START_POS)
@@ -62,15 +62,16 @@ def build_backbone(angles: jax.Array) -> jax.Array:
     #   CA_i: len n-ca, theta = ang_{i-1}[5], chi = omega_{i-1}
     #   C_i : len ca-c, theta = ang_i[3],     chi = phi_i
     prev, cur = angles[:-1], angles[1:]
-    thetas = jnp.stack([prev[:, 4], prev[:, 5], cur[:, 3]], axis=1).reshape(-1)
-    chis = jnp.stack([prev[:, 1], prev[:, 2], cur[:, 0]], axis=1).reshape(-1)
-    lengths = jnp.tile(jnp.array([_L_CN, _L_NCA, _L_CAC], dtype), L - 1)
+    thetas = jnp.stack([prev[:, 4], prev[:, 5], cur[:, 3]], axis=1)
+    chis = jnp.stack([prev[:, 1], prev[:, 2], cur[:, 0]], axis=1)
+    lengths = jnp.broadcast_to(
+        jnp.array([_L_CN, _L_NCA, _L_CAC], dtype), (L - 1, 3))
 
     r0 = frame_from_points(n0, ca0, c0)
-    ext = chain_positions(r0, c0, lengths, thetas, chis)  # (3(L-1), 3)
+    ext = chain_positions_grouped(r0, c0, lengths, thetas, chis)  # (L-1, 3, 3)
 
     mainchain = jnp.concatenate(
-        [jnp.stack([n0, ca0, c0]), ext]).reshape(L, 3, 3)
+        [jnp.stack([n0, ca0, c0])[None], ext]).reshape(L, 3, 3)
     n, ca, c = mainchain[:, 0], mainchain[:, 1], mainchain[:, 2]
 
     # Oxygens: nerf(N, CA, C, c-o, ca-c-o, psi - pi) for every residue

