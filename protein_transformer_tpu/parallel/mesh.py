@@ -41,12 +41,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Optional[Mesh]):
-    """Device-put a host Batch with the leading axis sharded over 'data'."""
+    """Device-put a host Batch with the leading axis sharded over 'data'.
+
+    Works across processes: each host transfers only the row block owned by
+    its addressable devices (parallel.distributed.make_global_batch)."""
     import dataclasses
+    from protein_transformer_tpu.parallel.distributed import make_global_batch
     if mesh is None:
         return batch
     sh = batch_sharding(mesh)
-    put = lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x
+    put = (lambda x: make_global_batch(np.asarray(x), sh)
+           if hasattr(x, "shape") else x)
     return dataclasses.replace(
         batch, **{f.name: put(getattr(batch, f.name))
                   for f in dataclasses.fields(batch)

@@ -122,6 +122,12 @@ class Trainer:
                  use_mesh: bool = True):
         from protein_transformer_tpu.utils import enable_compilation_cache
         enable_compilation_cache()
+        # Multi-host: join the jax.distributed cluster when the environment
+        # configures one (no-op single-process). Must precede any
+        # jax.devices() query, including make_mesh below.
+        from protein_transformer_tpu.parallel.distributed import (
+            initialize_from_env)
+        self.process_index, self.process_count = initialize_from_env()
         self.cfg = cfg = cfg.finalize()
         data = data if data is not None else load_dataset(cfg.data)
         self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
@@ -300,52 +306,69 @@ class Trainer:
         scale = self.plateau.scale if self.plateau else 1.0
         return self.cfg.learning_rate * scale
 
+    def _process_train_outputs(self, state: TrainState, out, pred_out,
+                               batch, step_i: int, logger) -> None:
+        """Host-side per-batch bookkeeping: metric fetch, CSV/wandb logging,
+        NaN watchdog, structure artifacts. Called one step *behind* the
+        device (see train_epoch), so these transfers overlap the next step's
+        compute instead of serializing host and device every step."""
+        cfg = self.cfg
+        out_host = {k: float(v) for k, v in jax.device_get(out).items()}
+        if not np.isfinite(out_host["loss"]):
+            raise FloatingPointError(
+                "A nan loss has occurred. Exiting training.")
+        self.metrics["history-lr"].append(self._current_lr(step_i))
+        self.metrics = M.update_batch(self.metrics, "train", out_host,
+                                      batch.n_res,
+                                      tracking_loss=out_host["loss"])
+        if logger:
+            logger.log(self.metrics, "train", self.start_time)
+        if (self.wandb_run is not None
+                and step_i % max(cfg.log_wandb_step, 1) == 0):
+            W.log_train_batch(self.wandb_run, out_host,
+                              int(batch.protein_mask.sum()),
+                              self.metrics["train"]["speed"],
+                              lr=self.metrics["history-lr"][-1])
+            if pred_out is not None:
+                # predicted-angle histograms on the wandb cadence
+                # (log.py:210-227)
+                W.log_angle_histograms(self.wandb_run, np.asarray(pred_out),
+                                       batch.seq, cfg.pad_id)
+        if (cfg.log_structure_step
+                and step_i % cfg.log_structure_step == 0):
+            self._log_structure(state, batch, step_i)
+        if (cfg.log_val_struct_step
+                and step_i % cfg.log_val_struct_step == 0):
+            self._log_validation_structures(state, step_i)
+
     def train_epoch(self, state: TrainState, logger) -> TrainState:
         cfg = self.cfg
         self.metrics = M.reset_for_epoch(self.metrics, "train")
         train_step = self._jit_cache.setdefault("train",
                                                 self._train_step_fn())
-        rng_np = np.random.default_rng(cfg.seed + int(state.step))
+        step_i = int(state.step)  # host-side step counter (no device syncs)
+        rng_np = np.random.default_rng(cfg.seed + step_i)
         lr_scale = jnp.asarray(self.plateau.scale if self.plateau else 1.0,
                                jnp.float32)
         batches = prefetch(self.dm.train_batches(rng_np), size=2,
                            transform=lambda b: (b, shard_batch(b, self.mesh)))
+        # One-step software pipeline: dispatch step N+1 before fetching step
+        # N's metric scalars, so host logging rides under device compute.
+        # The NaN watchdog consequently fires one batch late -- same loss
+        # value, observed one step later.
+        pending = None
         for batch, batch_dev in batches:
             params, opt_state, step_no, out = train_step(
                 state.params, state.opt_state, state.step, batch_dev,
                 self.rng, lr_scale)
             state = TrainState(params, opt_state, step_no)
+            if pending is not None:
+                self._process_train_outputs(state, *pending, logger)
             pred_out = out.pop("pred", None)
-            out_host = {k: float(v) for k, v in out.items()}
-            if not np.isfinite(out_host["loss"]):
-                raise FloatingPointError(
-                    "A nan loss has occurred. Exiting training.")
-            self.metrics["history-lr"].append(
-                self._current_lr(int(state.step) - 1))
-            self.metrics = M.update_batch(self.metrics, "train", out_host,
-                                          batch.n_res,
-                                          tracking_loss=out_host["loss"])
-            if logger:
-                logger.log(self.metrics, "train", self.start_time)
-            step_i = int(state.step) - 1
-            if (self.wandb_run is not None
-                    and step_i % max(cfg.log_wandb_step, 1) == 0):
-                W.log_train_batch(self.wandb_run, out_host,
-                                  int(batch.protein_mask.sum()),
-                                  self.metrics["train"]["speed"],
-                                  lr=self.metrics["history-lr"][-1])
-                if pred_out is not None:
-                    # predicted-angle histograms on the wandb cadence
-                    # (log.py:210-227)
-                    W.log_angle_histograms(self.wandb_run,
-                                           np.asarray(pred_out),
-                                           batch.seq, cfg.pad_id)
-            if (cfg.log_structure_step
-                    and step_i % cfg.log_structure_step == 0):
-                self._log_structure(state, batch, step_i)
-            if (cfg.log_val_struct_step
-                    and step_i % cfg.log_val_struct_step == 0):
-                self._log_validation_structures(state, step_i)
+            pending = (out, pred_out, batch, step_i)
+            step_i += 1
+        if pending is not None:
+            self._process_train_outputs(state, *pending, logger)
         self.metrics = M.end_of_epoch(self.metrics, "train")
         return state
 
@@ -398,7 +421,10 @@ class Trainer:
         if state is None:
             state = self.init_state()
             state = self.maybe_restore(state)
-        if self.wandb_run is None and cfg.use_wandb:
+        # Host-side sinks (wandb, CSV) write from process 0 only; metric
+        # scalars are replicated across processes so nothing is lost.
+        if (self.wandb_run is None and cfg.use_wandb
+                and self.process_index == 0):
             n_params = sum(int(np.prod(p.shape))
                            for p in jax.tree.leaves(state.params))
             self.wandb_run = W.try_init_wandb(cfg, n_params,
@@ -406,7 +432,8 @@ class Trainer:
             self.structure_logger.wandb_run = self.wandb_run
         logger = M.CsvLogger(
             os.path.join(self.out_dir, (cfg.name or "run") + ".train"),
-            cfg.loss, resume=self.start_epoch > 0)
+            cfg.loss, resume=self.start_epoch > 0) \
+            if self.process_index == 0 else None
         history: list = getattr(self, "_best_history", [])
 
         from protein_transformer_tpu.utils import maybe_profile
@@ -422,8 +449,9 @@ class Trainer:
                                 self.dm.train_eval_batches(
                                     np.random.default_rng(epoch)), logger)
             M.print_epoch_status("train", self.metrics, start)
-            logger.log(self.metrics, "train", self.start_time,
-                       end_of_epoch=True)
+            if logger:
+                logger.log(self.metrics, "train", self.start_time,
+                           end_of_epoch=True)
 
             if not cfg.train_only:
                 for split in self.dm.eval_splits:
@@ -456,7 +484,8 @@ class Trainer:
             self.eval_epoch(state.params, "test",
                             self.dm.eval_batches("test"), logger)
             M.print_epoch_status("test", self.metrics, start)
-        logger.close()
+        if logger:
+            logger.close()
         self.structure_logger.close()
         if self.wandb_run is not None:
             self.wandb_run.finish()
