@@ -245,22 +245,52 @@ def align_observed_to_mask(primary: str, mask: list[int], observed_seq: str,
 MIN_LENGTH = 2
 
 
-def measure_structure_file(pdb_path: str, min_length: int = MIN_LENGTH):
-    """PDB file -> (seq, angles (L, 12), coords (L*14, 3)), NaN-marked."""
-    if not os.path.exists(pdb_path):
-        raise NoneStructureError(pdb_path)
-    seq, coords = measure.pdb_to_record(pdb_path)
+def measure_structure(seq: str, coords: np.ndarray,
+                      min_length: int = MIN_LENGTH, origin: str = ""):
+    """(seq, (L, 14, 3) NaN-marked coords) -> (seq, angles, flat coords)."""
     if len(seq) < min_length:
-        raise ShortStructureError(f"{pdb_path}: {len(seq)} residues")
+        raise ShortStructureError(f"{origin}: {len(seq)} residues")
     ang = measure.coords_to_angles(coords, np.array(
         [measure.VOCAB[c] for c in seq], np.int32))
     crd = coords.reshape(-1, 3)
     return seq, ang.astype(np.float32), crd.astype(np.float32)
 
 
-def build_entry(record: dict, pdb_path: str):
-    """One ProteinNet record + local structure file -> (seq, sincos, crd)."""
-    seq, ang, crd = measure_structure_file(pdb_path)
+def measure_structure_file(pdb_path: str, min_length: int = MIN_LENGTH):
+    """PDB file -> (seq, angles (L, 12), coords (L*14, 3)), NaN-marked."""
+    if not os.path.exists(pdb_path):
+        raise NoneStructureError(pdb_path)
+    seq, coords = measure.pdb_to_record(pdb_path)
+    return measure_structure(seq, coords, min_length, origin=pdb_path)
+
+
+def resolve_structure(pnid: str, structure_dir: str,
+                      targets_dir: Optional[str] = None,
+                      astral_map: Optional[dict] = None,
+                      fetch: bool = False):
+    """pnid -> (seq, (L, 14, 3) coords): per-id file if present, else the
+    full acquisition route (PDB/mmCIF cache or RCSB fetch + model/chain
+    selection, data/acquire.py; reference proteinnet2pytorch.py:35-114)."""
+    direct = os.path.join(structure_dir, f"{pnid}.pdb")
+    if os.path.exists(direct):
+        return measure.pdb_to_record(direct)
+    from protein_transformer_tpu.data.acquire import (
+        get_chain_from_proteinnetid)
+    return get_chain_from_proteinnetid(pnid, structure_dir,
+                                       targets_dir=targets_dir,
+                                       astral_map=astral_map, fetch=fetch)
+
+
+def build_entry(record: dict, pdb_path: Optional[str] = None,
+                structure: Optional[tuple] = None, origin: str = ""):
+    """One ProteinNet record + structure -> (seq, sincos, crd).
+
+    structure: pre-resolved (seq, (L, 14, 3) coords) from resolve_structure;
+    pdb_path: legacy direct-file entry."""
+    if structure is not None:
+        seq, ang, crd = measure_structure(*structure, origin=origin)
+    else:
+        seq, ang, crd = measure_structure_file(pdb_path)
     primary = record.get("primary", seq)
     ang_full, crd_full = align_observed_to_mask(
         primary, record.get("mask"), seq, ang, crd)
@@ -303,11 +333,17 @@ def create_data_dict(splits: dict[str, dict], max_len: int = 500) -> dict:
 
 def build_dataset(records: dict[str, dict], structure_dir: str,
                   split_of_id, max_len: int = 500,
-                  errors: Optional[ProteinErrors] = None) -> dict:
+                  errors: Optional[ProteinErrors] = None,
+                  targets_dir: Optional[str] = None,
+                  astral_map: Optional[dict] = None,
+                  fetch: bool = False) -> dict:
     """Measure + align every record; returns the dataset dict.
 
-    records: {pnid: proteinnet record}; structure_dir contains <pnid>.pdb
-    files; split_of_id maps a pnid to its split name.
+    records: {pnid: proteinnet record}; structure_dir contains either
+    <pnid>.pdb files or a <pdbid>.pdb/.cif cache for the acquisition route
+    (RCSB download with fetch=True); split_of_id maps a pnid to its split
+    name; targets_dir holds CASP target PDBs for test-set ids; astral_map is
+    the parsed ASTRAL summary mapping.
     """
     errors = errors if errors is not None else ProteinErrors()
     splits: dict[str, dict] = {}
@@ -316,11 +352,15 @@ def build_dataset(records: dict[str, dict], structure_dir: str,
         if split is None:
             continue
         try:
-            pdb_path = os.path.join(structure_dir, f"{pnid}.pdb")
-            if not os.path.exists(pdb_path):
+            try:
+                structure = resolve_structure(
+                    pnid, structure_dir, targets_dir=targets_dir,
+                    astral_map=astral_map, fetch=fetch)
+            except (NoneStructureError, KeyError, ValueError):
                 errors.record(pnid, ERROR_NAME_TO_CODE["MISSING_FILE"])
                 continue
-            seq, sincos, crd = build_entry(rec, pdb_path)
+            seq, sincos, crd = build_entry(rec, structure=structure,
+                                           origin=pnid)
         except StructureError as e:
             errors.record(pnid, errors.code_for_exception(e))
             continue
