@@ -49,8 +49,13 @@ def reset_for_epoch(metrics: dict, mode: str) -> dict:
 
 
 def update_batch(metrics: dict, mode: str, losses: dict, n_res: int,
-                 tracking_loss: Optional[float] = None) -> dict:
-    """Record one batch's losses (update_metrics, log.py:388-436)."""
+                 tracking_loss: Optional[float] = None,
+                 now: Optional[float] = None) -> dict:
+    """Record one batch's losses (update_metrics, log.py:388-436).
+
+    now: timestamp to use for the residues/sec statistic; the trainer
+    passes each step's DISPATCH time so that batching the device->host
+    metric fetches (which arrive in bursts) doesn't distort speeds."""
     m = metrics[mode]
     metrics["n_batches"] += 1
     for key in LOSS_KEYS:
@@ -64,7 +69,7 @@ def update_batch(metrics: dict, mode: str, losses: dict, n_res: int,
             m[f"epoch-{key}"] = val
         else:
             m[f"epoch-{key}"] += val
-    now = time.time()
+    now = time.time() if now is None else now
     m["speed"] = n_res / max(now - m["batch-time"], 1e-9)
     m["batch-time"] = now
     m["speed-history"].append(m["speed"])

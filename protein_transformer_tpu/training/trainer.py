@@ -118,6 +118,10 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
 
 
 class Trainer:
+    # steps kept in flight before one batched metric fetch (train + eval
+    # loops); one device->host round trip per FLUSH_EVERY steps
+    FLUSH_EVERY = 8
+
     def __init__(self, cfg: TrainConfig, data: Optional[dict] = None,
                  use_mesh: bool = True):
         from protein_transformer_tpu.utils import enable_compilation_cache
@@ -306,21 +310,21 @@ class Trainer:
         scale = self.plateau.scale if self.plateau else 1.0
         return self.cfg.learning_rate * scale
 
-    def _process_train_outputs(self, state: TrainState, out, pred_out,
-                               batch, step_i: int, logger) -> None:
-        """Host-side per-batch bookkeeping: metric fetch, CSV/wandb logging,
-        NaN watchdog, structure artifacts. Called one step *behind* the
-        device (see train_epoch), so these transfers overlap the next step's
-        compute instead of serializing host and device every step."""
+    def _process_train_outputs(self, state: TrainState, out_host, pred_out,
+                               batch, step_i: int, t_dispatch: float,
+                               logger) -> None:
+        """Host-side per-batch bookkeeping: metric recording, CSV/wandb
+        logging, NaN watchdog, structure artifacts. Runs behind the device
+        on already-fetched host values (see train_epoch)."""
         cfg = self.cfg
-        out_host = {k: float(v) for k, v in jax.device_get(out).items()}
         if not np.isfinite(out_host["loss"]):
             raise FloatingPointError(
                 "A nan loss has occurred. Exiting training.")
         self.metrics["history-lr"].append(self._current_lr(step_i))
         self.metrics = M.update_batch(self.metrics, "train", out_host,
                                       batch.n_res,
-                                      tracking_loss=out_host["loss"])
+                                      tracking_loss=out_host["loss"],
+                                      now=t_dispatch)
         if logger:
             logger.log(self.metrics, "train", self.start_time)
         if (self.wandb_run is not None
@@ -352,23 +356,36 @@ class Trainer:
                                jnp.float32)
         batches = prefetch(self.dm.train_batches(rng_np), size=2,
                            transform=lambda b: (b, shard_batch(b, self.mesh)))
-        # One-step software pipeline: dispatch step N+1 before fetching step
-        # N's metric scalars, so host logging rides under device compute.
-        # The NaN watchdog consequently fires one batch late -- same loss
-        # value, observed one step later.
-        pending = None
+        # Software pipeline: keep up to FLUSH_EVERY dispatched steps in
+        # flight and fetch their metric scalars with ONE batched device_get.
+        # A device->host round trip costs a full link RTT (tens of ms over a
+        # DCN/tunnel link) regardless of payload, so amortizing it over K
+        # steps keeps the host loop off the critical path. The NaN watchdog
+        # consequently fires up to K batches late -- same loss values,
+        # observed a moment later.
+        pending: list = []
+
+        def flush():
+            nonlocal pending
+            fetched = jax.device_get([p[0] for p in pending])
+            for host_out, (_, pred, b, s_i, t_d) in zip(fetched, pending):
+                out_host = {k: float(v) for k, v in host_out.items()}
+                self._process_train_outputs(state, out_host, pred, b, s_i,
+                                            t_d, logger)
+            pending = []
+
         for batch, batch_dev in batches:
             params, opt_state, step_no, out = train_step(
                 state.params, state.opt_state, state.step, batch_dev,
                 self.rng, lr_scale)
             state = TrainState(params, opt_state, step_no)
-            if pending is not None:
-                self._process_train_outputs(state, *pending, logger)
             pred_out = out.pop("pred", None)
-            pending = (out, pred_out, batch, step_i)
+            pending.append((out, pred_out, batch, step_i, time.time()))
             step_i += 1
-        if pending is not None:
-            self._process_train_outputs(state, *pending, logger)
+            if len(pending) >= self.FLUSH_EVERY:
+                flush()
+        if pending:
+            flush()
         self.metrics = M.end_of_epoch(self.metrics, "train")
         return state
 
@@ -378,11 +395,24 @@ class Trainer:
         eval_step = self._jit_cache.setdefault("eval", self._eval_step_fn())
         prefetched = prefetch(batches, size=2,
                               transform=lambda b: (b, shard_batch(b, self.mesh)))
+        pending: list = []
+
+        def flush():
+            nonlocal pending
+            fetched = jax.device_get([p[0] for p in pending])
+            for host_out, (_, n_res, t_d) in zip(fetched, pending):
+                out_host = {k: float(v) for k, v in host_out.items()}
+                self.metrics = M.update_batch(self.metrics, mode, out_host,
+                                              n_res, now=t_d)
+            pending = []
+
         for batch, batch_dev in prefetched:
-            out = eval_step(params, batch_dev)
-            out_host = {k: float(v) for k, v in out.items()}
-            self.metrics = M.update_batch(self.metrics, mode, out_host,
-                                          batch.n_res)
+            pending.append((eval_step(params, batch_dev), batch.n_res,
+                            time.time()))
+            if len(pending) >= self.FLUSH_EVERY:
+                flush()
+        if pending:
+            flush()
         self.metrics = M.end_of_epoch(self.metrics, mode)
         if logger:
             logger.log(self.metrics, mode, self.start_time,
