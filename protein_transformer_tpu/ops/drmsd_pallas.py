@@ -85,59 +85,60 @@ def _fwd_kernel_rsqrt(pa_ref, pb_ref, m_ref, out_ref):
 
 
 def _make_grad_kernel(wrt_a: bool):
-    """Build a row-tile gradient kernel for one of the two point sets.
+    """Build an upper-triangular gradient kernel for one of the two point
+    sets.
 
-    dS/da_i = sum_j  2*w_ij*(Da-Db)/Da * (a_i - a_j)      (wrt_a)
-    dS/db_i = sum_j -2*w_ij*(Da-Db)/Db * (b_i - b_j)      (not wrt_a)
+    dS/da_k = sum_{j>k} coef_kj (a_k - a_j) - sum_{i<k} coef_ik (a_i - a_k)
+    with coef_ij = 2*w_ij*(Da-Db)/Da (negated, with Db, for the b side).
+    Each i<j tile pair is computed ONCE and contributes a row-sum to the
+    row block and a negated column-sum to the column block of a VMEM-
+    resident (3, N) accumulator -- half the distance work of a full-sweep
+    backward. Grid cells run sequentially on TPU, so += accumulation across
+    cells is race-free.
 
-    The two gradients are deliberately SEPARATE pallas calls: in training
-    the true-coordinate side carries no gradient, and XLA dead-code-
-    eliminates the unused kernel entirely -- a fused both-sides kernel
+    The two gradient sides are deliberately SEPARATE pallas calls: in
+    training the true-coordinate side carries no gradient, and XLA dead-
+    code-eliminates the unused kernel entirely -- a fused both-sides kernel
     would force computing it every step.
     """
     def kernel(pa_ref, pb_ref, m_ref, out_ref):
         ti = pl.program_id(0)
-        n_tiles = pl.num_programs(0)
+        tj = pl.program_id(1)
 
-        # Row-tile values depend only on ti: hoist out of the column sweep.
-        ai = [pa_ref[c, pl.ds(ti * _TILE, _TILE)] for c in range(3)]
-        bi = [pb_ref[c, pl.ds(ti * _TILE, _TILE)] for c in range(3)]
-        mi = m_ref[0, pl.ds(ti * _TILE, _TILE)]
-        rows = ti * _TILE + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (_TILE, _TILE), 0)
+        @pl.when((ti == 0) & (tj == 0))
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
 
-        def body(tj, acc):
+        @pl.when(tj >= ti)
+        def _():
+            pi = pl.ds(ti * _TILE, _TILE)
+            pj = pl.ds(tj * _TILE, _TILE)
             # Coordinate-difference tiles are shared between the distance
             # computation and the gradient contraction; rsqrt replaces the
             # sqrt+divide pair (D = d2 * rsqrt(d2), 1/D = rsqrt(d2)).
-            da_c = [ai[c][:, None]
-                    - pa_ref[c, pl.ds(tj * _TILE, _TILE)][None, :]
+            da_c = [pa_ref[c, pi][:, None] - pa_ref[c, pj][None, :]
                     for c in range(3)]
-            db_c = [bi[c][:, None]
-                    - pb_ref[c, pl.ds(tj * _TILE, _TILE)][None, :]
+            db_c = [pb_ref[c, pi][:, None] - pb_ref[c, pj][None, :]
                     for c in range(3)]
             d2a = da_c[0] * da_c[0] + da_c[1] * da_c[1] + da_c[2] * da_c[2]
             d2b = db_c[0] * db_c[0] + db_c[1] * db_c[1] + db_c[2] * db_c[2]
             ra = jax.lax.rsqrt(jnp.maximum(d2a, _DIST_CLAMP))
             rb = jax.lax.rsqrt(jnp.maximum(d2b, _DIST_CLAMP))
-            mj = m_ref[0, pl.ds(tj * _TILE, _TILE)]
-            cols = tj * _TILE + jax.lax.broadcasted_iota(jnp.int32,
-                                                         (_TILE, _TILE), 1)
-            offdiag = (rows != cols).astype(jnp.float32)
-            w = mi[:, None] * mj[None, :] * offdiag
-            delta = w * (d2a * ra - d2b * rb)  # w * (Da - Db), symmetric
+            # w covers exactly the valid i<j pairs: off-diagonal tile pairs
+            # (tj > ti) have every row index < every column index, and the
+            # diagonal tiles keep their strict upper triangle.
+            w = _pair_mask(m_ref, ti, tj)
+            delta = w * (d2a * ra - d2b * rb)  # w * (Da - Db)
             if wrt_a:
                 coef = 2.0 * delta * ra
                 diffs = da_c
             else:
                 coef = -2.0 * delta * rb
                 diffs = db_c
-            return jnp.stack([acc[c] + jnp.sum(coef * diffs[c], axis=1)
-                              for c in range(3)])
-
-        acc = jax.lax.fori_loop(0, n_tiles, body,
-                                jnp.zeros((3, _TILE), jnp.float32))
-        out_ref[:, :] = acc
+            for c in range(3):
+                g = coef * diffs[c]
+                out_ref[c, pi] += jnp.sum(g, axis=1)
+                out_ref[c, pj] += -jnp.sum(g, axis=0)
 
     return kernel
 
@@ -188,13 +189,13 @@ def _stats_bwd(res, cot):
     pa, pb, m, n_pad = _pad_inputs(a, b, mask)
     n_tiles = n_pad // _TILE
     common = dict(
-        grid=(n_tiles,),
+        grid=(n_tiles, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
-        out_specs=pl.BlockSpec((3, _TILE), lambda ti: (0, ti),
-                               memory_space=pltpu.VMEM),
+        # whole-array VMEM accumulator, revisited by every grid cell
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     ga = pl.pallas_call(_bwd_kernel_a, **common)(pa, pb, m[None, :])
     gb = pl.pallas_call(_bwd_kernel_b, **common)(pa, pb, m[None, :])

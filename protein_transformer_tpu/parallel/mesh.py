@@ -43,19 +43,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Optional[Mesh]):
     """Device-put a host Batch with the leading axis sharded over 'data'.
 
-    Works across processes: each host transfers only the row block owned by
-    its addressable devices (parallel.distributed.make_global_batch)."""
+    All array fields go through ONE device_put call (a pytree put): each
+    host->device call costs a link round trip regardless of payload, so
+    seven per-field puts would pay seven RTTs per batch. Works across
+    processes: each host transfers only the row block owned by its
+    addressable devices (parallel.distributed.make_global_batch)."""
     import dataclasses
     from protein_transformer_tpu.parallel.distributed import make_global_batch
     if mesh is None:
         return batch
     sh = batch_sharding(mesh)
-    put = (lambda x: make_global_batch(np.asarray(x), sh)
-           if hasattr(x, "shape") else x)
-    return dataclasses.replace(
-        batch, **{f.name: put(getattr(batch, f.name))
-                  for f in dataclasses.fields(batch)
-                  if hasattr(getattr(batch, f.name), "shape")})
+    names = [f.name for f in dataclasses.fields(batch)
+             if hasattr(getattr(batch, f.name), "shape")]
+    if jax.process_count() > 1:
+        put = {n: make_global_batch(np.asarray(getattr(batch, n)), sh)
+               for n in names}
+    else:
+        arrays = jax.device_put([np.asarray(getattr(batch, n))
+                                 for n in names], sh)
+        put = dict(zip(names, arrays))
+    return dataclasses.replace(batch, **put)
 
 
 def replicate_tree(tree, mesh: Optional[Mesh]):
