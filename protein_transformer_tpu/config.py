@@ -92,6 +92,11 @@ class TrainConfig:
     mesh_axes: Sequence[str] = ("data",)
     compute_dtype: str = "float32"           # float32 | bfloat16
     drmsd_impl: str = "auto"                 # auto | xla | pallas
+    # PRNG implementation for dropout/sampling bits. threefry's per-call
+    # key-derivation chains + bit generation cost ~3 ms/step at the flagship
+    # config (~2300 scalar HLO ops for 19 dropout sites); the TPU hardware
+    # rbg generator removes that. auto = rbg on TPU, threefry elsewhere.
+    prng_impl: str = "auto"                  # auto | threefry2x32 | rbg
     profile_dir: Optional[str] = None
 
     # Derived (filled by finalize())

@@ -99,6 +99,8 @@ def create_parser() -> argparse.ArgumentParser:
     tpu = p.add_argument_group("TPU Args")
     tpu.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                      default="float32")
+    tpu.add_argument("--prng_impl",
+                     choices=["auto", "threefry2x32", "rbg"], default="auto")
     tpu.add_argument("--mesh_shape", type=int, nargs="+", default=[-1])
     tpu.add_argument("--mesh_axes", type=str, nargs="+", default=["data"])
     tpu.add_argument("--drmsd_impl", choices=["auto", "xla", "pallas"],

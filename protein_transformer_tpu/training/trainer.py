@@ -133,6 +133,13 @@ class Trainer:
             initialize_from_env)
         self.process_index, self.process_count = initialize_from_env()
         self.cfg = cfg = cfg.finalize()
+        # PRNG impl must be selected before the first PRNGKey below.
+        impl = getattr(cfg, "prng_impl", "auto")
+        if impl == "auto":
+            impl = ("rbg" if jax.default_backend() == "tpu"
+                    else "threefry2x32")
+        if impl != "threefry2x32":
+            jax.config.update("jax_default_prng_impl", impl)
         data = data if data is not None else load_dataset(cfg.data)
         self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
         n_data = self.mesh.shape.get("data", 1) if self.mesh else 1
