@@ -20,11 +20,17 @@ import optax
 
 def noam_schedule(d_model: int, warmup_steps: int) -> optax.Schedule:
     init_lr = float(d_model) ** -0.5
+    wu = float(warmup_steps) ** -1.5
 
     def schedule(count):
+        if isinstance(count, (int, float)):
+            # host path (metric logging): plain python arithmetic -- a jnp
+            # version here would dispatch device ops + a D2H round trip per
+            # logged batch
+            step = float(max(count + 1, 1))
+            return init_lr * min(step ** -0.5, wu * step)
         step = jnp.maximum(count + 1, 1).astype(jnp.float32)
-        return init_lr * jnp.minimum(step ** -0.5,
-                                     float(warmup_steps) ** -1.5 * step)
+        return init_lr * jnp.minimum(step ** -0.5, wu * step)
 
     return schedule
 

@@ -159,6 +159,13 @@ class Trainer:
                    else cfg.learning_rate)
         self.tx = make_optimizer(cfg.optimizer, base_lr, cfg.weight_decay,
                                  cfg.clip)
+        # Multi-tensor fusion: run the optimizer on one flattened vector
+        # instead of ~50 per-leaf chains (hundreds of small HLO ops). Only
+        # when no 'model' axis shards parameters -- flattening would mix
+        # tensor-parallel shardings into one array.
+        n_model = self.mesh.shape.get("model", 1) if self.mesh else 1
+        if n_model == 1:
+            self.tx = optax.flatten(self.tx)
         self.early_stop = EarlyStopping(patience=cfg.early_stopping,
                                         threshold=cfg.early_stopping_threshold)
 
@@ -371,14 +378,23 @@ class Trainer:
         # consequently fires up to K batches late -- same loss values,
         # observed a moment later.
         pending: list = []
+        t_last_flush = time.time()
 
         def flush():
-            nonlocal pending
+            nonlocal pending, t_last_flush
             fetched = jax.device_get([p[0] for p in pending])
-            for host_out, (_, pred, b, s_i, t_d) in zip(fetched, pending):
+            # honest residues/sec under run-ahead dispatch: the window's
+            # wall time (previous flush -> all K steps complete) is spread
+            # evenly over its batches
+            t_now = time.time()
+            dt = (t_now - t_last_flush) / max(len(pending), 1)
+            for i, (host_out, (_, pred, b, s_i)) in enumerate(
+                    zip(fetched, pending)):
                 out_host = {k: float(v) for k, v in host_out.items()}
-                self._process_train_outputs(state, out_host, pred, b, s_i,
-                                            t_d, logger)
+                self._process_train_outputs(
+                    state, out_host, pred, b, s_i,
+                    t_last_flush + (i + 1) * dt, logger)
+            t_last_flush = t_now
             pending = []
 
         for batch, batch_dev in batches:
@@ -387,7 +403,7 @@ class Trainer:
                 self.rng, lr_scale)
             state = TrainState(params, opt_state, step_no)
             pred_out = out.pop("pred", None)
-            pending.append((out, pred_out, batch, step_i, time.time()))
+            pending.append((out, pred_out, batch, step_i))
             step_i += 1
             if len(pending) >= self.FLUSH_EVERY:
                 flush()
@@ -403,19 +419,23 @@ class Trainer:
         prefetched = prefetch(batches, size=2,
                               transform=lambda b: (b, shard_batch(b, self.mesh)))
         pending: list = []
+        t_last_flush = time.time()
 
         def flush():
-            nonlocal pending
+            nonlocal pending, t_last_flush
             fetched = jax.device_get([p[0] for p in pending])
-            for host_out, (_, n_res, t_d) in zip(fetched, pending):
+            t_now = time.time()
+            dt = (t_now - t_last_flush) / max(len(pending), 1)
+            for i, (host_out, (_, n_res)) in enumerate(zip(fetched, pending)):
                 out_host = {k: float(v) for k, v in host_out.items()}
                 self.metrics = M.update_batch(self.metrics, mode, out_host,
-                                              n_res, now=t_d)
+                                              n_res,
+                                              now=t_last_flush + (i + 1) * dt)
+            t_last_flush = t_now
             pending = []
 
         for batch, batch_dev in prefetched:
-            pending.append((eval_step(params, batch_dev), batch.n_res,
-                            time.time()))
+            pending.append((eval_step(params, batch_dev), batch.n_res))
             if len(pending) >= self.FLUSH_EVERY:
                 flush()
         if pending:
