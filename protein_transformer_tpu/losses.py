@@ -174,7 +174,11 @@ def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
     # (structure_utils.get_backbone_from_full_coords:19-32). Compact to the
     # 3L backbone atoms before the pair sweep -- compaction preserves pair
     # order and distances, and the (3L)^2 sweep does ~22x less distance work
-    # than masking 11/14 slots of the full (14L)^2 sweep.
+    # than masking 11/14 slots of the full (14L)^2 sweep. Keeping full and
+    # bb as SEPARATE kernels also lets XLA dead-code-eliminate whichever
+    # backward carries no gradient (e.g. the full-atom backward under
+    # --backbone_loss); a fused two-mask kernel was measured 3 ms/step
+    # slower on the dm=1024/L=500 backbone config for exactly that reason.
     a_bb = pred_crd[:, :3, :].reshape(-1, 3)
     b_bb = true_crd[:, :3, :].reshape(-1, 3)
     m_bb = atom_mask[:, :3].reshape(-1)
