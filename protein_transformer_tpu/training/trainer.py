@@ -26,7 +26,7 @@ from protein_transformer_tpu.data.dataset import (
 from protein_transformer_tpu.data.prefetch import prefetch
 from protein_transformer_tpu.models.factory import make_model
 from protein_transformer_tpu.parallel.mesh import (
-    make_mesh, replicate_tree, shard_batch)
+    make_mesh, shard_batch)
 from protein_transformer_tpu.parallel.sharding import shard_params
 from protein_transformer_tpu.training import metrics as M
 from protein_transformer_tpu.training.checkpoint import (
