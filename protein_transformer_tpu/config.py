@@ -47,6 +47,15 @@ class TrainConfig:
     repeat_train: int = 1
     seed: int = 11_731
     combined_drmsd_weight: float = 0.5
+    # Training-gradient semantics for dRMSD-family losses:
+    #   "mean"      -- differentiate the reported batch-mean scalar (this
+    #                  framework's default; the mathematically clean choice);
+    #   "reference" -- inject d(sum over proteins of per-protein ln-dRMSD)
+    #                  like the reference's CPU-pool gradient stitching
+    #                  (losses.py:91-92,166-167), plus the MSE term for
+    #                  "combined" (train.py:84-86). A/B measured equivalent
+    #                  on the dev dataset (see STATUS.md round 3).
+    grad_semantics: str = "mean"
     batching_order: str = "binned-random"
     backbone_loss: bool = False
     bins: int = -1                           # -1 -> 'auto'

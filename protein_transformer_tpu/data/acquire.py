@@ -27,7 +27,7 @@ import numpy as np
 from protein_transformer_tpu.protein.constants import NUM_PREDICTED_COORDS
 from protein_transformer_tpu.protein import _ff14sb as ff
 from protein_transformer_tpu.protein.structure_exceptions import (
-    NoneStructureError, SequenceError)
+    CoordsetIndexError, NoneStructureError, SequenceError)
 from protein_transformer_tpu.protein.vocab import (
     THREE_TO_ONE_LETTER_MAP, VOCAB)
 
@@ -377,9 +377,13 @@ def get_chain_from_proteinnetid(pnid: str, cache_dir: str,
         if not os.path.exists(path):
             raise NoneStructureError(path)
         atoms = parse_structure_file(path)
-        # CASP target files contain a single chain (reference asserts this,
-        # proteinnet2pytorch.py:95-100)
-        sel = select_chain(atoms, chain=None, model=int(atoms.model.min()))
+        # CASP target files are expected to hold one chain; when more are
+        # present the reference takes the FIRST chain of the hierarchical
+        # view (next(iter(pdb_hv)), proteinnet2pytorch.py:95-100) -- merging
+        # chains would garble residue numbering across chains.
+        first_chain = atoms.chain[0] if len(atoms.chain) else None
+        sel = select_chain(atoms, chain=first_chain,
+                           model=int(atoms.model.min()))
         return atoms_to_record(sel)
 
     if info["kind"] == "astral":
@@ -399,9 +403,16 @@ def get_chain_from_proteinnetid(pnid: str, cache_dir: str,
     atoms = parse_structure_file(path)
     # ProteinNet model ids are 0-based coordset indices; MODEL records are
     # 1-based. Single-model files ignore the index (setACSIndex only ran
-    # when numCoordsets() > 1, proteinnet2pytorch.py:76-79).
+    # when numCoordsets() > 1, proteinnet2pytorch.py:76-79). An out-of-range
+    # index is an error (COORDSET_INDEX), never a silent clamp: training on
+    # a different conformer would corrupt the record.
     models = np.unique(atoms.model)
-    model = int(models[0]) if len(models) == 1 \
-        else int(models[min(info["model"], len(models) - 1)])
+    if len(models) == 1:
+        model = int(models[0])
+    elif info["model"] >= len(models):
+        raise CoordsetIndexError(
+            f"{pnid}: model index {info['model']} >= {len(models)} coordsets")
+    else:
+        model = int(models[info["model"]])
     sel = select_chain(atoms, chain=info["chain"], model=model)
     return atoms_to_record(sel)

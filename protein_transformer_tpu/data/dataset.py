@@ -66,16 +66,28 @@ class ProteinSplit:
     def __init__(self, seqs, angs, crds, ids=None,
                  skip_missing_residues=True, max_seq_len=MAX_SEQ_LEN):
         self.seqs, self.angs, self.crds, self.ids = [], [], [], []
+        # Pre-encoded / pre-masked views computed ONCE at load so the hot
+        # collate path is pure numpy slice copies (no per-character dict
+        # lookups, no per-batch isnan scans) -- the reference re-does this
+        # work in every DataLoader collate (dataset.py:26-54).
+        self.seq_enc: list[np.ndarray] = []   # (L,) int32
+        self.ang_masks: list[np.ndarray] = []  # (L, 24) bool
+        self.crd_masks: list[np.ndarray] = []  # (L, 14) bool
         ids = ids if ids is not None else [f"p{i}" for i in range(len(seqs))]
         for i in range(len(seqs)):
             ang = np.asarray(angs[i], np.float32)
             # skip proteins with fully-missing residues (dataset.py:69,117)
             if skip_missing_residues and np.isnan(ang).all(axis=-1).any():
                 continue
+            crd = np.asarray(crds[i], np.float32)
             self.seqs.append(seqs[i])
             self.angs.append(ang)
-            self.crds.append(np.asarray(crds[i], np.float32))
+            self.crds.append(crd)
             self.ids.append(ids[i])
+            self.seq_enc.append(VOCAB.str2array(seqs[i][:max_seq_len]))
+            self.ang_masks.append(np.isfinite(ang))
+            self.crd_masks.append(
+                np.isfinite(crd).all(-1).reshape(-1, NUM_PREDICTED_COORDS))
         self.lens = np.array(
             [min(len(s), max_seq_len) for s in self.seqs], np.int64)
         self.max_seq_len = max_seq_len
@@ -184,16 +196,15 @@ def collate(split: ProteinSplit, indices: np.ndarray,
 
     for row, idx in enumerate(indices):
         li = lens[row]
-        s = split.seqs[idx][:li]
-        seq[row, :li] = [VOCAB[c] for c in s]
-        a = split.angs[idx][:li]
-        ang[row, :li] = np.nan_to_num(a)
-        ang_mask[row, :li] = ~np.isnan(a)
+        seq[row, :li] = split.seq_enc[idx][:li]
+        m = split.ang_masks[idx][:li]
+        ang[row, :li] = np.where(m, split.angs[idx][:li], 0.0)
+        ang_mask[row, :li] = m
+        cm = split.crd_masks[idx][:li]
         c = split.crds[idx][: li * NUM_PREDICTED_COORDS].reshape(
             li, NUM_PREDICTED_COORDS, 3)
-        nanmask = np.isnan(c).any(-1)
-        crd[row, :li] = np.nan_to_num(c)
-        crd_mask[row, :li] = ~nanmask
+        crd[row, :li] = np.where(cm[..., None], c, 0.0)
+        crd_mask[row, :li] = cm
         protein_mask[row] = True
     return Batch(seq, ang, ang_mask, crd, crd_mask, protein_mask,
                  n_res=int(sum(lens)))

@@ -29,9 +29,9 @@ import numpy as np
 from protein_transformer_tpu.protein import measure
 from protein_transformer_tpu.protein.constants import NUM_PREDICTED_COORDS
 from protein_transformer_tpu.protein.structure_exceptions import (
-    ContigMultipleMatchingError, MaskAlignmentError, MissingAtomsError,
-    NonStandardAminoAcidError, NoneStructureError, SequenceError,
-    ShortStructureError, StructureError)
+    ContigMultipleMatchingError, CoordsetIndexError, MaskAlignmentError,
+    MissingAtomsError, NonStandardAminoAcidError, NoneStructureError,
+    SequenceError, ShortStructureError, StructureError)
 
 # ---------------------------------------------------------------- errors
 
@@ -46,11 +46,13 @@ ERROR_CODES = (
     ("MISSING_FILE", "No structure file available for this id."),
     ("NAN_VALUES", "Measured data contained NaN/inf-only entries."),
     ("PARSING_ERROR", "Raw record could not be parsed."),
+    ("COORDSET_INDEX", "Model index exceeds the structure's coordsets."),
     ("UNKNOWN", "Unclassified failure."),
 )
 ERROR_NAME_TO_CODE = {name: i for i, (name, _d) in enumerate(ERROR_CODES)}
 
 _EXCEPTION_TO_ERROR = {
+    CoordsetIndexError: "COORDSET_INDEX",
     SequenceError: "SEQUENCE_ERROR",
     NonStandardAminoAcidError: "NONSTANDARD_AA",
     MissingAtomsError: "MISSING_ATOMS",

@@ -20,9 +20,12 @@ Gradient-semantics note: when training on dRMSD-family losses, the reference
 always injects the gradient of the *sum over proteins of per-protein
 ln-dRMSD*, regardless of which scalar it reports (losses.py:91-92,166-167) --
 and for the "combined" loss the dRMSD term's z-scale weight never reaches the
-stitched gradient (train.py:78-86). This framework instead differentiates
-exactly the scalar it optimizes (mean over proteins), which changes only the
-effective learning-rate scaling of those modes.
+stitched gradient (train.py:78-86). This framework differentiates exactly the
+scalar it optimizes (mean over proteins) by default, which changes only the
+effective learning-rate scaling of those modes; ``--grad_semantics reference``
+(config.grad_semantics) reproduces the reference's stitched-gradient behavior
+bit-for-bit in the trainer (see training.trainer.compute_losses), and an A/B
+on the dev dataset showed the two converge equivalently (STATUS.md round 3).
 """
 from __future__ import annotations
 
@@ -192,7 +195,8 @@ def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
                         seq: jax.Array, atom_mask: jax.Array,
                         protein_mask: jax.Array | None = None,
                         impl: str = "xla",
-                        pred_crd: jax.Array | None = None) -> DrmsdResults:
+                        pred_crd: jax.Array | None = None,
+                        with_per_protein: bool = False):
     """Batch-mean dRMSD family losses, differentiable end-to-end.
 
     pred_sincos: (B, L, 24) model output; true_crd: (B, L, 14, 3) with
@@ -203,6 +207,8 @@ def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
     Replaces the reference's CPU-pool gradient stitching
     (losses.py:133-172): angles -> coordinates (on-device NeRF) -> masked
     pairwise reductions, averaged over the batch as in losses.py:169-172.
+    with_per_protein additionally returns the unreduced (B,) statistics
+    (used by the reference-faithful gradient-semantics mode).
     """
     if pred_crd is None:
         angles = inverse_trig_transform(pred_sincos)
@@ -216,7 +222,10 @@ def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
         w = protein_mask.astype(full.dtype)
         denom = jnp.maximum(jnp.sum(w), 1.0)
         mean = lambda v: jnp.sum(v * w) / denom
-    return DrmsdResults(mean(full), mean(ln), mean(bb), mean(ln_bb))
+    res = DrmsdResults(mean(full), mean(ln), mean(bb), mean(ln_bb))
+    if with_per_protein:
+        return res, DrmsdResults(full, ln, bb, ln_bb)
+    return res
 
 
 def combine_drmsd_mse(d: jax.Array, mse: jax.Array, w: float = 0.5,

@@ -36,3 +36,9 @@ class NoneStructureError(StructureError):
 
 class MaskAlignmentError(StructureError):
     """The observed residues could not be aligned to the ProteinNet mask."""
+
+
+class CoordsetIndexError(StructureError):
+    """A ProteinNet model index exceeds the structure's coordset count
+    (the reference surfaces this as IndexError -> COORDSET_INDEX_ERROR,
+    proteinnet2pytorch.py:76-79, proteinnet_errors.py)."""

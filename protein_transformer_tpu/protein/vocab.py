@@ -46,6 +46,11 @@ class ProteinVocabulary:
         self._int2char = {i: c for i, c in enumerate(chars)}
         self.pad_id = self._char2int[self.pad_char]
         self.unk_id = self._char2int[self.unk_char]
+        # Byte lookup table for vectorized encoding (str2array): one fancy
+        # index replaces a per-character dict loop on the hot collate path.
+        self._byte_lut = np.full(256, self.unk_id, np.int32)
+        for c, i in self._char2int.items():
+            self._byte_lut[ord(c)] = i
         # Parity quirk: when sos/eos are absent from the vocabulary, the
         # reference's sos_id/eos_id resolve to the unk id (Sequence.py:29-30
         # via __getitem__'s unk fallback), and enc-dec sequences are encoded
@@ -88,7 +93,15 @@ class ProteinVocabulary:
         return "".join(out)
 
     def str2array(self, seq: str, add_sos_eos: bool = False) -> np.ndarray:
-        return np.asarray(self.str2ints(seq, add_sos_eos), dtype=np.int32)
+        """Vectorized str2ints. Unknown / non-ascii characters map to unk
+        ('ascii'+'replace' substitutes '?', which is the unk char)."""
+        ids = self._byte_lut[
+            np.frombuffer(seq.encode("ascii", "replace"), np.uint8)]
+        if add_sos_eos:
+            return np.concatenate((
+                np.array([self.sos_id], np.int32), ids,
+                np.array([self.eos_id], np.int32)))
+        return ids
 
 
 # Module-level singleton, as in the reference (Sequence.py:91): 22 ids

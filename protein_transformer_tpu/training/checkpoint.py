@@ -29,10 +29,14 @@ class CheckpointManager:
         return os.path.join(self.directory, modifier)
 
     def save(self, modifier: str, arrays: dict, meta: dict) -> None:
+        # orbax save is a collective in multi-process runs -- every process
+        # calls it; the JSON sidecar is written by process 0 only.
         self._ckptr.save(self._path(modifier), arrays, force=True)
         self._ckptr.wait_until_finished()
-        with open(self._path(modifier) + ".meta.json", "w") as f:
-            json.dump(meta, f, default=float)
+        import jax
+        if jax.process_index() == 0:
+            with open(self._path(modifier) + ".meta.json", "w") as f:
+                json.dump(meta, f, default=float)
 
     def restore(self, modifier: str,
                 template: dict) -> Optional[tuple[dict, dict]]:
@@ -67,10 +71,21 @@ class CheckpointManager:
 
 def checkpoint_policy(cur_loss: float, loss_history: list,
                       last_chkpt_time: float,
-                      time_interval_hours: float) -> Optional[str]:
-    """Returns 'best', 'latest', or None (train.py:194-205)."""
+                      time_interval_hours: float,
+                      process_count: int = 1) -> Optional[str]:
+    """Returns 'best', 'latest', or None (train.py:194-205).
+
+    The time trigger reads the LOCAL wall clock; in multi-process runs the
+    processes could disagree near the interval boundary and deadlock inside
+    the collective orbax save, so process 0's decision is broadcast.
+    """
     do_time = (time_interval_hours > 0 and
                (time.time() - last_chkpt_time) / 3600 > time_interval_hours)
+    if process_count > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+        do_time = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(do_time)))
     if len(loss_history) == 1 or (loss_history[:-1]
                                   and cur_loss < min(loss_history[:-1])):
         return "best"

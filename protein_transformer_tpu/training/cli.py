@@ -54,6 +54,8 @@ def create_parser() -> argparse.ArgumentParser:
     t.add_argument("--batching_order", default="binned-random",
                    choices=["descending", "ascending", "binned-random"])
     t.add_argument("--backbone_loss", action="store_true")
+    t.add_argument("--grad_semantics", choices=["mean", "reference"],
+                   default="mean")
     t.add_argument("--bins", type=int, default=-1)
     t.add_argument("--train_eval_downsample", type=float, default=0.10)
     # compatibility no-ops

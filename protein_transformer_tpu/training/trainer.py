@@ -83,10 +83,14 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
         pred_crd = build_coords_batch(angles, batch.seq)
 
     if with_drmsd:
+        ref_grads = (getattr(cfg, "grad_semantics", "mean") == "reference"
+                     and cfg.loss in DRMSD_LOSSES)
         d = L.compute_batch_drmsd(
             pred, batch.crd, batch.seq, batch.crd_mask, batch.protein_mask,
             impl=resolve_drmsd_impl(getattr(cfg, "drmsd_impl", "auto")),
-            pred_crd=pred_crd)
+            pred_crd=pred_crd, with_per_protein=ref_grads)
+        if ref_grads:
+            d, per = d
         out.update({"drmsd-full": d.drmsd, "lndrmsd-full": d.ln_drmsd,
                     "drmsd-bb": d.drmsd_bb, "lndrmsd-bb": d.ln_drmsd_bb})
         # --backbone_loss trains on backbone-only dRMSD (train.py:461-462,
@@ -104,6 +108,20 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
             loss = c
         else:
             loss = m_full
+        if ref_grads:
+            # Reference-faithful stitched gradients (losses.py:91-92,166-167;
+            # train.py:84-86): backprop d(sum over proteins of per-protein
+            # ln-dRMSD) -- bb-only under --backbone_loss -- plus the MSE term
+            # of the combined loss; the REPORTED value stays the selected
+            # scalar above.
+            ln_vec = per.ln_drmsd_bb if cfg.backbone_loss else per.ln_drmsd
+            w = batch.protein_mask.astype(ln_vec.dtype)
+            grad_loss = jnp.sum(ln_vec * w)
+            if cfg.loss == "combined":
+                grad_loss = grad_loss + L.combine_drmsd_mse(
+                    jax.lax.stop_gradient(ln_train), m_full,
+                    w=cfg.combined_drmsd_weight)
+            loss = jax.lax.stop_gradient(loss - grad_loss) + grad_loss
     else:
         loss = m_full
 
@@ -124,14 +142,15 @@ class Trainer:
 
     def __init__(self, cfg: TrainConfig, data: Optional[dict] = None,
                  use_mesh: bool = True):
-        from protein_transformer_tpu.utils import enable_compilation_cache
-        enable_compilation_cache()
         # Multi-host: join the jax.distributed cluster when the environment
-        # configures one (no-op single-process). Must precede any
-        # jax.devices() query, including make_mesh below.
+        # configures one (no-op single-process). Must precede ANY backend
+        # initialization -- including enable_compilation_cache's
+        # jax.default_backend() probe and make_mesh's jax.devices().
         from protein_transformer_tpu.parallel.distributed import (
             initialize_from_env)
         self.process_index, self.process_count = initialize_from_env()
+        from protein_transformer_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg = cfg.finalize()
         # PRNG impl must be selected before the first PRNGKey below.
         impl = getattr(cfg, "prng_impl", "auto")
@@ -320,12 +339,13 @@ class Trainer:
         scale = self.plateau.scale if self.plateau else 1.0
         return self.cfg.learning_rate * scale
 
-    def _process_train_outputs(self, state: TrainState, out_host, pred_out,
+    def _process_train_outputs(self, out_host, pred_out,
                                batch, step_i: int, t_dispatch: float,
                                logger) -> None:
         """Host-side per-batch bookkeeping: metric recording, CSV/wandb
-        logging, NaN watchdog, structure artifacts. Runs behind the device
-        on already-fetched host values (see train_epoch)."""
+        logging, NaN watchdog. Runs behind the device on already-fetched
+        host values (see train_epoch); structure artifacts are dispatched
+        from the step loop itself."""
         cfg = self.cfg
         if not np.isfinite(out_host["loss"]):
             raise FloatingPointError(
@@ -348,13 +368,6 @@ class Trainer:
                 # (log.py:210-227)
                 W.log_angle_histograms(self.wandb_run, np.asarray(pred_out),
                                        batch.seq, cfg.pad_id)
-        if (cfg.log_structure_step
-                and step_i % cfg.log_structure_step == 0):
-            self._log_structure(state, batch, step_i)
-        if (cfg.log_val_struct_step
-                and step_i % cfg.log_val_struct_step == 0):
-            self._log_validation_structures(state, step_i)
-
     def train_epoch(self, state: TrainState, logger) -> TrainState:
         cfg = self.cfg
         self.metrics = M.reset_for_epoch(self.metrics, "train")
@@ -388,7 +401,7 @@ class Trainer:
                     zip(fetched, pending)):
                 out_host = {k: float(v) for k, v in host_out.items()}
                 self._process_train_outputs(
-                    state, out_host, pred, b, s_i,
+                    out_host, pred, b, s_i,
                     t_last_flush + (i + 1) * dt, logger)
             t_last_flush = t_now
             pending = []
@@ -400,6 +413,15 @@ class Trainer:
             state = TrainState(params, opt_state, step_no)
             pred_out = out.pop("pred", None)
             pending.append((out, pred_out, batch, step_i))
+            # Structure artifacts render at DISPATCH time so the logged
+            # params are the ones labeled with step_i (one optimizer update
+            # ahead of the batch's forward pass, not FLUSH_EVERY of them).
+            if (cfg.log_structure_step
+                    and step_i % cfg.log_structure_step == 0):
+                self._log_structure(state, batch, step_i)
+            if (cfg.log_val_struct_step
+                    and step_i % cfg.log_val_struct_step == 0):
+                self._log_validation_structures(state, step_i)
             step_i += 1
             if len(pending) >= self.FLUSH_EVERY:
                 flush()
@@ -441,6 +463,7 @@ class Trainer:
             logger.log(self.metrics, mode, self.start_time,
                        end_of_epoch=True)
         W.log_eval_epoch(self.wandb_run, mode, self.metrics[mode])
+        W.log_final_epoch_summary(self.wandb_run, mode, self.metrics[mode])
 
     # ---------------- checkpointing ----------------
 
@@ -452,7 +475,8 @@ class Trainer:
                          cur_loss: float, history: list) -> None:
         modifier = checkpoint_policy(cur_loss, history,
                                      self.metrics["last_chkpt_time"],
-                                     self.cfg.checkpoint_time_interval)
+                                     self.cfg.checkpoint_time_interval,
+                                     process_count=self.process_count)
         if modifier is None:
             return
         arrays = {"params": state.params, "opt_state": state.opt_state,
@@ -465,6 +489,8 @@ class Trainer:
                 "best_history": list(history)}
         self.ckpt.save(modifier, arrays, meta)
         self.metrics["last_chkpt_time"] = time.time()
+        W.log_checkpoint_summary(self.wandb_run, modifier, cur_loss, epoch,
+                                 self.metrics, self.cfg.train_only)
         print(f"    - [Info] checkpoint '{modifier}' updated.")
 
     # ---------------- main loop ----------------
@@ -483,6 +509,8 @@ class Trainer:
             self.wandb_run = W.try_init_wandb(cfg, n_params,
                                               self.dm.angle_means)
             self.structure_logger.wandb_run = self.wandb_run
+            W.save_model_txt(self.wandb_run, self.model, self.out_dir)
+            W.mirror_run_files(self.wandb_run, self.out_dir)
         logger = M.CsvLogger(
             os.path.join(self.out_dir, (cfg.name or "run") + ".train"),
             cfg.loss, resume=self.start_epoch > 0) \
@@ -505,6 +533,11 @@ class Trainer:
             if logger:
                 logger.log(self.metrics, "train", self.start_time,
                            end_of_epoch=True)
+            W.log_final_epoch_summary(self.wandb_run, "train",
+                                      self.metrics["train"])
+            if self.wandb_run is not None:
+                # epoch-cadence parameter histograms (wandb.watch analogue)
+                W.watch_params(self.wandb_run, jax.device_get(state.params))
 
             if not cfg.train_only:
                 for split in self.dm.eval_splits:
@@ -530,6 +563,7 @@ class Trainer:
             if stop:
                 print(f"No improvement for {cfg.early_stopping} epochs. "
                       "Stopping model training early.")
+                W.log_early_stop(self.wandb_run)
                 break
 
         if not cfg.train_only and "test" in self.dm.eval_splits:

@@ -26,7 +26,86 @@ def try_init_wandb(cfg, n_params: int, angle_means) -> Optional[object]:
     run.config.update({"n_params": n_params,
                        "max_seq_len": cfg.max_seq_len}, allow_val_change=True)
     run.summary["stopped_training_early"] = False
+    run.summary["max_batch_size"] = cfg.batch_size
     return run
+
+
+def watch_params(run, params, grads=None) -> None:
+    """Parameter (and optionally gradient) histograms per module path --
+    the capability of wandb.watch(model, "all") (train.py:621), which hooks
+    torch autograd; flax params are explicit pytrees, so histograms are
+    logged directly on the epoch cadence."""
+    if run is None:
+        return
+    import jax
+    import wandb
+    payload = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        payload[f"parameters/{name}"] = wandb.Histogram(
+            np_histogram=np.histogram(np.asarray(leaf)))
+    if grads is not None:
+        for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            payload[f"gradients/{name}"] = wandb.Histogram(
+                np_histogram=np.histogram(np.asarray(leaf)))
+    run.log(payload, commit=False)
+
+
+def save_model_txt(run, model, out_dir: str) -> None:
+    """MODEL.txt with the model's architecture string (train.py:643-645)."""
+    import os
+    path = os.path.join(out_dir, "MODEL.txt")
+    with open(path, "w") as f:
+        f.write(str(model) + "\n")
+    if run is not None:
+        run.save(path, base_path=out_dir)
+
+
+def mirror_run_files(run, out_dir: str) -> None:
+    """wandb.save live-mirroring of checkpoints/structures/CSV logs
+    (train.py:223,665-667)."""
+    if run is None:
+        return
+    import os
+    for pattern in ("checkpoints/*", "structures/*", "*.train"):
+        run.save(os.path.join(out_dir, pattern), base_path=out_dir,
+                 policy="live")
+
+
+def log_checkpoint_summary(run, modifier: str, cur_loss: float, epoch: int,
+                           metrics: dict, train_only: bool) -> None:
+    """Run summaries stamped at checkpoint time (train.py:208-209,224-226)."""
+    if run is None:
+        return
+    run.summary[f"{modifier}_validation_loss"] = cur_loss
+    run.summary[f"{modifier}_validation_epoch"] = epoch
+    hist = metrics["train"]["speed-history"]
+    if hist:
+        run.summary["avg_training_speed"] = float(np.mean(hist))
+    if not train_only and metrics.get("valid-70", {}).get("speed-history"):
+        run.summary["avg_evaluation_speed"] = float(
+            np.mean(metrics["valid-70"]["speed-history"]))
+
+
+def log_final_epoch_summary(run, mode: str, m: dict) -> None:
+    """final_epoch_<mode>_* summaries, refreshed every epoch so the run
+    ends with its last-epoch values (log.py:83-88)."""
+    if run is None:
+        return
+    hist = m.get("speed-history") or [0.0]
+    run.summary[f"final_epoch_{mode}_drmsd"] = m["epoch-drmsd-full"]
+    run.summary[f"final_epoch_{mode}_mse"] = m["epoch-mse-full"]
+    run.summary[f"final_epoch_{mode}_rmsd"] = m["epoch-rmsd-full"]
+    run.summary[f"final_epoch_{mode}_comb"] = m["epoch-combined-full"]
+    run.summary[f"final_epoch_{mode}_speed"] = float(np.mean(hist))
+
+
+def log_early_stop(run) -> None:
+    """stopped_training_early flips True on early stop (log.py:105)."""
+    if run is None:
+        return
+    run.summary["stopped_training_early"] = True
 
 
 def log_train_batch(run, losses: dict, batch_size: int, speed: float,

@@ -1,4 +1,7 @@
-"""Multi-host readiness: env-gated init + per-process batch row ownership."""
+"""Multi-host readiness: env-gated init + per-process batch row ownership,
+plus a REAL 2-process integration run over a localhost coordinator."""
+import os
+
 import numpy as np
 import pytest
 
@@ -40,3 +43,89 @@ def test_make_global_batch_single_process_roundtrip():
     arr = make_global_batch(x, batch_sharding(mesh))
     np.testing.assert_array_equal(np.asarray(arr), x)
     assert len(arr.sharding.device_set) == len(jax.devices())
+
+
+_WORKER = r"""
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+# join the cluster BEFORE any computation (make_dataset builds coords on
+# device); same call the Trainer makes, idempotent there
+from protein_transformer_tpu.parallel.distributed import initialize_from_env
+initialize_from_env()
+from protein_transformer_tpu.config import TrainConfig
+from protein_transformer_tpu.data.synthetic import make_dataset
+from protein_transformer_tpu.training.trainer import Trainer
+
+out_dir = sys.argv[1]
+cfg = TrainConfig(model="enc-only", d_model=16, d_ff=32, n_heads=2,
+                  n_layers=1, batch_size=8, epochs=1, loss="mse",
+                  optimizer="adam", learning_rate=1e-3,
+                  lr_scheduling="plateau", bucket_sizes=(16,),
+                  max_seq_len=16, out_dir=out_dir, name="dist", dropout=0.0,
+                  train_only=True, early_stopping=0, log_structure_step=0)
+data = make_dataset(n_train=16, n_eval=2, min_len=8, max_len=16, seed=0)
+tr = Trainer(cfg, data=data)
+assert len(jax.devices()) == 8, jax.devices()
+tr.train()
+print("NPROC", tr.process_count, "PIDX", tr.process_index)
+"""
+
+
+def _read_batch_losses(csv_path):
+    import csv as _csv
+    with open(csv_path) as f:
+        rows = [r for r in _csv.DictReader(f) if r["granularity"] == "batch"]
+    return [float(r["rmse"]) for r in rows]
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    """REAL 2-process jax.distributed run (localhost coordinator, 4 virtual
+    CPU devices per process = 8 global) trains with per-batch losses equal to
+    the single-process 8-device run: process count is an execution detail,
+    not a semantics change."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def env_for(pid, n_dev):
+        env = dict(os.environ, PTT_FORCE_CPU="1",
+                   XLA_FLAGS=f"--xla_force_host_platform_device_count={n_dev}")
+        env.pop("JAX_PLATFORMS", None)
+        if pid is not None:
+            env.update(PTT_COORDINATOR=f"127.0.0.1:{port}",
+                       PTT_NUM_PROCESSES="2", PTT_PROCESS_ID=str(pid))
+        return env
+
+    out2 = str(tmp_path / "two")
+    procs = [subprocess.Popen(
+        [_sys.executable, "-c", _WORKER, out2], env=env_for(pid, 4),
+        cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("2-process run timed out on this host")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    assert "NPROC 2" in outs[0] + outs[1]
+
+    out1 = str(tmp_path / "one")
+    r = subprocess.run([_sys.executable, "-c", _WORKER, out1],
+                       env=env_for(None, 8), cwd="/root/repo",
+                       capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    losses2 = _read_batch_losses(os.path.join(out2, "dist", "dist.train"))
+    losses1 = _read_batch_losses(os.path.join(out1, "dist", "dist.train"))
+    assert len(losses2) == len(losses1) > 0
+    np.testing.assert_allclose(losses2, losses1, rtol=2e-4, atol=1e-6)

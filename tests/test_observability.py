@@ -116,6 +116,72 @@ def test_csv_logger_granularity(tmp_path):
     assert len(epoch_rows) == 1
 
 
+class FakeRun:
+    """Minimal wandb.Run stand-in: records summary writes, log payloads,
+    and save() globs."""
+
+    def __init__(self):
+        self.summary = {}
+        self.logged = []
+        self.saved = []
+
+    def log(self, payload, commit=True):
+        self.logged.append(payload)
+
+    def save(self, pattern, base_path=None, policy=None):
+        self.saved.append(pattern)
+
+
+def _epoch_metrics():
+    metrics = M.init_metrics(["train", "valid-70"])
+    for mode in ("train", "valid-70"):
+        metrics = M.reset_for_epoch(metrics, mode)
+        losses = {k: 2.0 for k in M.LOSS_KEYS}
+        metrics = M.update_batch(metrics, mode, losses, 100)
+        metrics = M.end_of_epoch(metrics, mode)
+    return metrics
+
+
+def test_wandb_checkpoint_and_final_epoch_summaries():
+    from protein_transformer_tpu.training import wandb_logging as W
+    run = FakeRun()
+    metrics = _epoch_metrics()
+    W.log_checkpoint_summary(run, "best", 1.25, 3, metrics, train_only=False)
+    assert run.summary["best_validation_loss"] == 1.25
+    assert run.summary["best_validation_epoch"] == 3
+    assert run.summary["avg_training_speed"] > 0
+    assert run.summary["avg_evaluation_speed"] > 0
+    W.log_final_epoch_summary(run, "train", metrics["train"])
+    assert run.summary["final_epoch_train_drmsd"] == pytest.approx(2.0)
+    assert run.summary["final_epoch_train_mse"] == pytest.approx(2.0)
+    assert "final_epoch_train_speed" in run.summary
+    W.log_early_stop(run)
+    assert run.summary["stopped_training_early"] is True
+
+
+def test_wandb_watch_params_histograms():
+    from protein_transformer_tpu.training import wandb_logging as W
+    pytest.importorskip("wandb")
+    run = FakeRun()
+    params = {"params": {"dense": {"kernel": np.ones((4, 4)),
+                                   "bias": np.zeros((4,))}}}
+    W.watch_params(run, params, grads=params)
+    (payload,) = run.logged
+    assert any(k.startswith("parameters/") and "kernel" in k for k in payload)
+    assert any(k.startswith("gradients/") for k in payload)
+
+
+def test_wandb_model_txt_and_mirroring(tmp_path):
+    from protein_transformer_tpu.training import wandb_logging as W
+    run = FakeRun()
+    W.save_model_txt(run, object(), str(tmp_path))
+    assert (tmp_path / "MODEL.txt").read_text().strip()
+    W.mirror_run_files(run, str(tmp_path))
+    assert any("checkpoints" in p for p in run.saved)
+    assert any("structures" in p for p in run.saved)
+    assert any(p.endswith(".train") for p in run.saved)
+
+
 def test_epoch_bb_metrics_divided_by_n_batches():
     """Bug-compatible with the reference: bb/sc epoch values are the LAST
     batch value divided by n_batches (log.py:414-421 overwrite +

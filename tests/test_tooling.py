@@ -149,3 +149,49 @@ def test_export_embeddings(tmp_path):
     labels = open(tmp_path / "tsv" / "labels.tsv").read().strip().splitlines()
     assert len(vecs) == len(labels) == 22  # vocab size
     assert len(vecs[0].split("\t")) == 16  # d_model
+
+
+def test_group_predictions(tmp_path):
+    """PyMOL-free analogue of scripts/group_pymol_by_prediction.py: pairs
+    are Kabsch-aligned, bucketed by RMSD, and written as multi-model PDBs."""
+    from protein_transformer_tpu.protein.pdb import PdbWriter, parse_pdb_atoms
+    rng = np.random.default_rng(0)
+    seq = "ACDEF"
+    crd = rng.normal(size=(5, 14, 3)) * 3.0
+    pred_dir = tmp_path / "preds"
+    pred_dir.mkdir()
+    # pred = rigidly moved true + 0.1A noise -> aligned RMSD ~0.1 (excellent)
+    theta = 0.7
+    rot = np.array([[np.cos(theta), -np.sin(theta), 0],
+                    [np.sin(theta), np.cos(theta), 0], [0, 0, 1.0]])
+    moved = crd @ rot.T + np.array([5.0, -3.0, 2.0])
+    moved += rng.normal(size=moved.shape) * 0.05
+    PdbWriter(crd, seq).save_pdb(str(pred_dir / "p1_true.pdb"))
+    PdbWriter(moved, seq).save_pdb(str(pred_dir / "p1_pred.pdb"))
+    # a second, badly wrong prediction -> poor bucket
+    PdbWriter(crd, seq).save_pdb(str(pred_dir / "p2_true.pdb"))
+    PdbWriter(rng.normal(size=(5, 14, 3)) * 20.0, seq).save_pdb(
+        str(pred_dir / "p2_pred.pdb"))
+
+    sys.path.insert(0, "/root/repo/ptt_scripts")
+    try:
+        import group_predictions as gp
+    finally:
+        sys.path.remove("/root/repo/ptt_scripts")
+    out = tmp_path / "grouped"
+    results = gp.group_predictions(str(pred_dir), str(out))
+    assert [r[0] for r in results] == ["p1", "p2"]  # sorted best-first
+    assert results[0][1] < 0.2 and results[0][2] == "excellent"
+    assert results[1][1] > 10.0 and results[1][2] == "poor"
+    # the multi-model group file holds true + aligned pred
+    text = open(results[0][3]).read()
+    assert text.count("MODEL") == 2 and "ENDMDL" in text
+    # aligned pred coordinates now sit on the true ones
+    _, _, _, true_xyz = parse_pdb_atoms(str(pred_dir / "p1_true.pdb"))
+    lines = [ln for ln in text.splitlines()]
+    m2 = lines.index("MODEL     2")
+    aligned_path = tmp_path / "aligned.pdb"
+    aligned_path.write_text("\n".join(lines[m2:]))
+    _, _, _, al_xyz = parse_pdb_atoms(str(aligned_path))
+    assert np.sqrt(((al_xyz - true_xyz) ** 2).sum(-1).mean()) < 0.2
+    assert (out / "summary.tsv").exists()

@@ -180,3 +180,47 @@ def test_eval_is_deterministic(tmp_path, data):
     second = tr.metrics["valid-70"]
     for key in ("epoch-mse-full", "epoch-drmsd-full", "epoch-rmsd-full"):
         assert first[key] == second[key], key
+
+
+def test_reference_grad_semantics(tmp_path, data):
+    """--grad_semantics reference: the training gradient is the reference's
+    stitched d(sum over proteins of per-protein ln-dRMSD) (losses.py:91-92,
+    166-167) -- while the REPORTED loss value is unchanged."""
+    import jax.numpy as jnp
+    from protein_transformer_tpu import losses as L
+    from protein_transformer_tpu.training.trainer import compute_losses
+
+    cfg_mean = small_cfg(tmp_path, loss="lndrmsd")
+    cfg_ref = small_cfg(tmp_path, loss="lndrmsd", grad_semantics="reference")
+    tr = Trainer(cfg_mean, data=data)
+    state = tr.init_state()
+    batch = next(tr.dm.train_batches(np.random.default_rng(0)))
+
+    def loss_of(cfg):
+        return lambda p: compute_losses(tr.model, p, batch, cfg)[0]
+
+    v_mean, g_mean = jax.value_and_grad(loss_of(cfg_mean))(state.params)
+    v_ref, g_ref = jax.value_and_grad(loss_of(cfg_ref))(state.params)
+    # same reported scalar
+    np.testing.assert_allclose(float(v_ref), float(v_mean), rtol=1e-6)
+
+    # explicit reference-semantics gradient: sum_i ln_drmsd_i
+    def explicit(p):
+        pred = tr.model.apply(p, batch.seq, batch.ang, deterministic=True)
+        _res, per = L.compute_batch_drmsd(
+            pred, batch.crd, batch.seq, batch.crd_mask, batch.protein_mask,
+            with_per_protein=True)
+        w = jnp.asarray(batch.protein_mask, per.ln_drmsd.dtype)
+        return jnp.sum(per.ln_drmsd * w)
+
+    g_explicit = jax.grad(explicit)(state.params)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_exp = jax.tree.leaves(g_explicit)
+    flat_mean = jax.tree.leaves(g_mean)
+    for a, b in zip(flat_ref, flat_exp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    # and it differs from the mean-semantics gradient (sum vs mean scaling)
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(flat_ref, flat_mean)]
+    assert max(diffs) > 1e-6
