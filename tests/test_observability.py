@@ -159,9 +159,22 @@ def test_wandb_checkpoint_and_final_epoch_summaries():
     assert run.summary["stopped_training_early"] is True
 
 
-def test_wandb_watch_params_histograms():
+def test_wandb_watch_params_histograms(monkeypatch):
+    # Install a complete fake wandb module: the real package is absent in
+    # this image, and other tests leak an EMPTY stub into sys.modules
+    # (test_losses stubs the reference's import), so importorskip would be
+    # order-dependent.
+    import sys
+    import types
+    fake = types.ModuleType("wandb")
+
+    class _Histogram:
+        def __init__(self, np_histogram=None):
+            self.np_histogram = np_histogram
+
+    fake.Histogram = _Histogram
+    monkeypatch.setitem(sys.modules, "wandb", fake)
     from protein_transformer_tpu.training import wandb_logging as W
-    pytest.importorskip("wandb")
     run = FakeRun()
     params = {"params": {"dense": {"kernel": np.ones((4, 4)),
                                    "bias": np.zeros((4,))}}}
