@@ -115,13 +115,13 @@ def main():
     # inputs) and triggers the steady-state compilation.
     params, opt_state, step_no = state.params, state.opt_state, state.step
     for _ in range(2):
-        params, opt_state, step_no, out = step_fn(
+        params, opt_state, step_no, out, _ = step_fn(
             params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
         jax.block_until_ready((params, out))
 
     t0 = time.time()
     for _ in range(steps):
-        params, opt_state, step_no, out = step_fn(
+        params, opt_state, step_no, out, _ = step_fn(
             params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
     jax.block_until_ready((params, out))
     dt = (time.time() - t0) / steps

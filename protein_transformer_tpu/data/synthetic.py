@@ -35,6 +35,7 @@ def random_angles(rng: np.random.Generator, length: int) -> np.ndarray:
 
 def _make_split(rng: np.random.Generator, n: int, min_len: int, max_len: int,
                 missing_atoms: float):
+    import jax
     import jax.numpy as jnp
     from protein_transformer_tpu.protein import _ff14sb as ff
     from protein_transformer_tpu.protein.geometry import build_coords_batch
@@ -47,7 +48,10 @@ def _make_split(rng: np.random.Generator, n: int, min_len: int, max_len: int,
     for i, (s, l) in enumerate(zip(seqs, lengths)):
         ids_pad[i, :l] = [VOCAB[c] for c in s]
         ang_pad[i, :l] = random_angles(rng, l)
-    crd_all = np.asarray(build_coords_batch(
+    # jit: un-jitted, the associative-scan builder dispatches thousands of
+    # individual primitives (one host->device round trip each on a
+    # tunnel-attached TPU); jitted it is one compile + one call per shape.
+    crd_all = np.asarray(jax.jit(build_coords_batch)(
         jnp.asarray(ang_pad), jnp.asarray(ids_pad)))   # (n, Lmax, 14, 3)
 
     angs, crds = [], []

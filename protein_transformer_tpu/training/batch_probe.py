@@ -94,8 +94,8 @@ def probe_trainer_batch_size(trainer, length: int | None = None,
         # template state survives repeated tries
         params = jax.tree.map(jnp.copy, state.params)
         opt_state = jax.tree.map(jnp.copy, state.opt_state)
-        _p, _o, _s, out = step_fn(params, opt_state, state.step, bd,
-                                  trainer.rng, jnp.float32(1.0))
+        _p, _o, _s, out, _pred = step_fn(params, opt_state, state.step, bd,
+                                         trainer.rng, jnp.float32(1.0))
         jax.block_until_ready(out)
 
     return find_largest_batch_size(try_batch, **kwargs)

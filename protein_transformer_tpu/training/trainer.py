@@ -38,6 +38,23 @@ from protein_transformer_tpu.training.structure_logging import StructureLogger
 
 DRMSD_LOSSES = ("drmsd", "lndrmsd", "combined")
 
+# Fixed order in which the jitted steps pack their scalar metrics into ONE
+# (K,) device vector. Fetching K separate scalar arrays costs K tunnel/link
+# round trips per flush window; one packed vector costs one.
+METRIC_KEYS = ("loss", "mse-full", "mse-bb", "mse-sc", "drmsd-full",
+               "lndrmsd-full", "drmsd-bb", "lndrmsd-bb", "combined-full",
+               "rmsd-full")
+
+
+def pack_metrics(out: dict) -> jax.Array:
+    """Stack the scalar metric dict into a (K,) vector (inside jit)."""
+    return jnp.stack([out[k] for k in METRIC_KEYS])
+
+
+def unpack_metrics(row) -> dict:
+    """Host-side inverse of pack_metrics for one fetched row."""
+    return {k: float(v) for k, v in zip(METRIC_KEYS, row)}
+
 
 def resolve_drmsd_impl(impl: str) -> str:
     """'auto' -> fused Pallas kernel on TPU, tiled XLA path elsewhere."""
@@ -275,7 +292,8 @@ class Trainer:
             updates, opt_state = tx.update(grads, opt_state, state_params)
             updates = jax.tree.map(lambda u: u * lr_scale, updates)
             params = optax.apply_updates(state_params, updates)
-            return params, opt_state, step_no + 1, out
+            pred = out.pop("pred", None)
+            return params, opt_state, step_no + 1, pack_metrics(out), pred
 
         return step
 
@@ -287,7 +305,7 @@ class Trainer:
             _, out = compute_losses(model, params, batch, cfg,
                                     deterministic=True, with_drmsd=True,
                                     with_rmsd=with_rmsd)
-            return out
+            return pack_metrics(out)
 
         return step
 
@@ -386,32 +404,34 @@ class Trainer:
         # steps keeps the host loop off the critical path. The NaN watchdog
         # consequently fires up to K batches late -- same loss values,
         # observed a moment later.
+        stack = self._jit_cache.setdefault(
+            "stack", jax.jit(lambda *vs: jnp.stack(vs)))
         pending: list = []
         t_last_flush = time.time()
 
         def flush():
             nonlocal pending, t_last_flush
-            fetched = jax.device_get([p[0] for p in pending])
+            # ONE device->host fetch for the whole window: the per-step (K,)
+            # metric vectors are stacked on device and pulled as one array.
+            fetched = np.asarray(stack(*[p[0] for p in pending]))
             # honest residues/sec under run-ahead dispatch: the window's
             # wall time (previous flush -> all K steps complete) is spread
             # evenly over its batches
             t_now = time.time()
             dt = (t_now - t_last_flush) / max(len(pending), 1)
-            for i, (host_out, (_, pred, b, s_i)) in enumerate(
+            for i, (row, (_, pred, b, s_i)) in enumerate(
                     zip(fetched, pending)):
-                out_host = {k: float(v) for k, v in host_out.items()}
                 self._process_train_outputs(
-                    out_host, pred, b, s_i,
+                    unpack_metrics(row), pred, b, s_i,
                     t_last_flush + (i + 1) * dt, logger)
             t_last_flush = t_now
             pending = []
 
         for batch, batch_dev in batches:
-            params, opt_state, step_no, out = train_step(
+            params, opt_state, step_no, out, pred_out = train_step(
                 state.params, state.opt_state, state.step, batch_dev,
                 self.rng, lr_scale)
             state = TrainState(params, opt_state, step_no)
-            pred_out = out.pop("pred", None)
             pending.append((out, pred_out, batch, step_i))
             # Structure artifacts render at DISPATCH time so the logged
             # params are the ones labeled with step_i (one optimizer update
@@ -436,18 +456,19 @@ class Trainer:
         eval_step = self._jit_cache.setdefault("eval", self._eval_step_fn())
         prefetched = prefetch(batches, size=2,
                               transform=lambda b: (b, shard_batch(b, self.mesh)))
+        stack = self._jit_cache.setdefault(
+            "stack", jax.jit(lambda *vs: jnp.stack(vs)))
         pending: list = []
         t_last_flush = time.time()
 
         def flush():
             nonlocal pending, t_last_flush
-            fetched = jax.device_get([p[0] for p in pending])
+            fetched = np.asarray(stack(*[p[0] for p in pending]))
             t_now = time.time()
             dt = (t_now - t_last_flush) / max(len(pending), 1)
-            for i, (host_out, (_, n_res)) in enumerate(zip(fetched, pending)):
-                out_host = {k: float(v) for k, v in host_out.items()}
-                self.metrics = M.update_batch(self.metrics, mode, out_host,
-                                              n_res,
+            for i, (row, (_, n_res)) in enumerate(zip(fetched, pending)):
+                self.metrics = M.update_batch(self.metrics, mode,
+                                              unpack_metrics(row), n_res,
                                               now=t_last_flush + (i + 1) * dt)
             t_last_flush = t_now
             pending = []
