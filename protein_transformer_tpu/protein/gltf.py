@@ -35,31 +35,47 @@ def structure_bonds(seq_ids: np.ndarray) -> np.ndarray:
     """Covalent bonds of a protein as (n_bonds, 2) indices into the flat
     (L*14) atom-slot layout. Missing/padded atoms are NOT filtered here --
     callers intersect with their atom mask.
+
+    Fully vectorized (the structure logger calls this per logged artifact on
+    the trainer's 1-CPU host; a Python per-atom loop stole GIL time from the
+    train loop) and memoized per sequence (validation logging re-exports the
+    same protein every cadence step).
     """
     seq_ids = np.asarray(seq_ids)
+    key = seq_ids.tobytes()
+    hit = _BONDS_CACHE.get(key)
+    if hit is not None:
+        return hit
     length = len(seq_ids)
     aa = np.clip(seq_ids, 0, ff.SC_NUM_ATOMS.shape[0] - 1)
     n_sc = np.asarray(ff.SC_NUM_ATOMS)[aa]              # (L,)
     frame = np.asarray(ff.SC_FRAME_IDX)[aa]             # (L, 10, 3)
 
-    bonds = []
-    for i in range(length):
-        base = i * NUM_PREDICTED_COORDS
-        bonds += [(base + 0, base + 1),                 # N-CA
-                  (base + 1, base + 2),                 # CA-C
-                  (base + 2, base + 3)]                 # C=O
-        if i + 1 < length:                              # peptide bond C-N
-            bonds.append((base + 2, base + NUM_PREDICTED_COORDS + 0))
-        for s in range(int(n_sc[i])):
-            # each sidechain atom extends from its frame's third atom c
-            # (geometry.build_sidechains); buffer idx 0-3 = backbone,
-            # 4-13 = sidechain slots, 14 = anchor (previous C / next N --
-            # skip: that bond is already the peptide link above).
-            c = int(frame[i, s, 2])
-            if c == ff.ANCHOR_IDX:
-                continue
-            bonds.append((base + c, base + 4 + s))
-    return np.asarray(bonds, np.int64).reshape(-1, 2)
+    base = np.arange(length, dtype=np.int64) * NUM_PREDICTED_COORDS  # (L,)
+    bb = np.stack([np.stack([base + 0, base + 1], -1),   # N-CA
+                   np.stack([base + 1, base + 2], -1),   # CA-C
+                   np.stack([base + 2, base + 3], -1)],  # C=O
+                  axis=1).reshape(-1, 2)
+    peptide = np.stack([base[:-1] + 2,
+                        base[1:] + 0], -1)               # C-N links
+    # each sidechain atom extends from its frame's third atom c
+    # (geometry.build_sidechains); buffer idx 0-3 = backbone, 4-13 =
+    # sidechain slots, 14 = anchor (previous C / next N -- skip: that bond
+    # is already the peptide link above).
+    c = frame[:, :, 2].astype(np.int64)                  # (L, 10)
+    slots = np.arange(10)
+    live = (slots[None, :] < n_sc[:, None]) & (c != ff.ANCHOR_IDX)
+    src = (base[:, None] + c)[live]
+    dst = (base[:, None] + 4 + slots[None, :])[live]
+    sc = np.stack([src, dst], -1)
+    out = np.concatenate([bb, peptide.reshape(-1, 2), sc]).reshape(-1, 2)
+    if len(_BONDS_CACHE) > 64:
+        _BONDS_CACHE.clear()
+    _BONDS_CACHE[key] = out
+    return out
+
+
+_BONDS_CACHE: dict = {}
 
 
 def coords_to_glb(coords: np.ndarray, seq_ids: np.ndarray,

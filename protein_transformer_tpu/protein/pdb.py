@@ -26,6 +26,31 @@ def atom_names_for_seq(seq: str) -> list[list[str]]:
     return [ff.ATOM_NAMES_14[VOCAB[c]] for c in seq]
 
 
+def _atom_line_parts(res_char: str) -> list[tuple[int, str, str]]:
+    """Per-AA precomputed (slot, prefix, suffix) for each named atom slot.
+
+    An ATOM record is `"ATOM  " nbr:5d prefix resnum:4d "    " x y z suffix`;
+    everything except the atom number, residue number, and coordinates is a
+    per-(AA, slot) constant, so formatting each line needs one f-string with
+    five interpolations instead of a 14-field .format call (the structure
+    logger formats thousands of atoms per artifact on the trainer host).
+    """
+    parts = []
+    res3 = ONE_TO_THREE_LETTER_MAP.get(res_char, "UNK")
+    for slot, name in enumerate(ff.ATOM_NAMES_14[VOCAB[res_char]]):
+        if not name:
+            continue
+        # widths: name^4, altloc(1)=' ', res3(3), ' ', chain(1)=' '
+        prefix = f"{name:^4s} {res3:3s}  "
+        # occupancy 1.00, b-factor 0.00, 10 spaces, element>2, charge(2)='  '
+        suffix = f"  1.00  0.00          {name[0]:>2s}  "
+        parts.append((slot, prefix, suffix))
+    return parts
+
+
+_LINE_PARTS_CACHE: dict = {}
+
+
 class PdbWriter:
     def __init__(self, coords: np.ndarray, seq: str):
         coords = np.asarray(coords, np.float64)
@@ -40,17 +65,25 @@ class PdbWriter:
     def lines(self, title: str = "pred") -> list[str]:
         out = [f"REMARK  {title}"]
         atom_nbr = 1
+        # atom validity in one vectorized pass (a per-atom isnan/==0 check
+        # costs two numpy reductions per atom -- measured hot in the trainer
+        # structure logger)
+        crd = self.coords
+        skip = np.isnan(crd).any(-1) | (crd == 0).all(-1)     # (L, 14)
         for res_i, res_char in enumerate(self.seq):
-            res3 = ONE_TO_THREE_LETTER_MAP.get(res_char, "UNK")
-            names = ff.ATOM_NAMES_14[VOCAB[res_char]]
-            for slot, name in enumerate(names):
-                xyz = self.coords[res_i, slot]
-                if (not name or np.isnan(xyz).any()
-                        or (xyz == 0).all()):
+            parts = _LINE_PARTS_CACHE.get(res_char)
+            if parts is None:
+                parts = _LINE_PARTS_CACHE[res_char] = \
+                    _atom_line_parts(res_char)
+            resnum = f"{res_i + 1:4d}    "
+            row = crd[res_i]
+            row_skip = skip[res_i]
+            for slot, prefix, suffix in parts:
+                if row_skip[slot]:
                     continue
-                out.append(_FORMAT.format(
-                    "ATOM", atom_nbr, name, "", res3, "", res_i + 1, "",
-                    xyz[0], xyz[1], xyz[2], 1, 0, name[0], ""))
+                x, y, z = row[slot]
+                out.append(f"ATOM  {atom_nbr:5d} {prefix}{resnum}"
+                           f"{x:8.3f}{y:8.3f}{z:8.3f}{suffix}")
                 atom_nbr += 1
         out.append("TER")
         out.append("END          ")

@@ -72,6 +72,13 @@ class StructureLogger:
                 self._q.task_done()
 
     def _write(self, step, name, seq_ids, pred_crd, true_crd, true_mask):
+        # device->host fetches happen HERE, on the worker thread: pred_crd
+        # may arrive as a jax device array so the train loop never blocks on
+        # the link RTT for an artifact fetch.
+        seq_ids = np.asarray(seq_ids)
+        pred_crd = np.asarray(pred_crd)
+        true_crd = np.asarray(true_crd)
+        true_mask = np.asarray(true_mask)
         sel = seq_ids != VOCAB.pad_id
         seq_str = VOCAB.ints2str(seq_ids[sel])
         li = int(sel.sum())
@@ -108,11 +115,13 @@ class StructureLogger:
     def log(self, step: int, name: str, seq_ids: np.ndarray,
             pred_crd: np.ndarray, true_crd: np.ndarray,
             true_mask: np.ndarray) -> None:
-        """Enqueue one structure; drops silently if the writer is backed up."""
+        """Enqueue one structure; drops silently if the writer is backed up.
+
+        Accepts jax device arrays -- the host fetch is deferred to the
+        worker thread (see _write)."""
         try:
-            self._q.put_nowait((step, name, np.asarray(seq_ids),
-                                np.asarray(pred_crd), np.asarray(true_crd),
-                                np.asarray(true_mask)))
+            self._q.put_nowait((step, name, seq_ids, pred_crd, true_crd,
+                                true_mask))
         except queue.Full:
             pass
 

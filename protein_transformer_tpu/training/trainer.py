@@ -331,9 +331,10 @@ class Trainer:
         idx = max(real - 1, 0)
         crd = fn(state.params, jnp.asarray(batch.seq[idx:idx + 1]),
                  jnp.asarray(batch.ang[idx:idx + 1]))
-        self.structure_logger.log(step, name, batch.seq[idx],
-                                  np.asarray(crd)[0], batch.crd[idx],
-                                  batch.crd_mask[idx])
+        # hand the DEVICE array to the async logger; the host fetch (a full
+        # link RTT) happens on its worker thread, not the train loop
+        self.structure_logger.log(step, name, batch.seq[idx], crd[0],
+                                  batch.crd[idx], batch.crd_mask[idx])
 
     def _log_validation_structures(self, state, step_i: int):
         """Predict + log the middle item of each validation split

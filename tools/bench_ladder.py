@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Config-ladder step benchmark (BASELINE.md ladder) on the real TPU.
+
+Measures the raw jitted train step (same method as bench.py main) for the
+BASELINE.md config ladder entries that exercise distinct regimes:
+
+  1. enc-only dm=64 nl=2, mse            (B=8, L=64)   -- tiny CPU-class
+  3. enc-only dm=256, drmsd               (B=8, L=256)  -- NeRF in-step
+  4. conv-enc dm=512 nl=6, combined       (B=8, L=256)  -- flagship (bench.py)
+  5. conv-enc dm=1024, lndrmsd+backbone   (B=4, L=500)  -- big-model ladder top
+
+Usage: python tools/bench_ladder.py [--configs 5] [--steps 30]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from protein_transformer_tpu.utils import enable_compilation_cache
+enable_compilation_cache()
+
+LADDER = {
+    1: dict(model="enc-only", d_model=64, d_ff=256, n_heads=2, n_layers=2,
+            loss="mse", b=8, l=64, backbone_loss=False),
+    3: dict(model="enc-only", d_model=256, d_ff=1024, n_heads=8, n_layers=4,
+            loss="drmsd", b=8, l=256, backbone_loss=False),
+    4: dict(model="conv-enc|21,11,3|1,1,1", d_model=512, d_ff=2048,
+            n_heads=8, n_layers=6, loss="combined", b=8, l=256,
+            backbone_loss=False),
+    5: dict(model="conv-enc|21,11,3|1,1,1", d_model=1024, d_ff=4096,
+            n_heads=8, n_layers=6, loss="lndrmsd", b=4, l=500,
+            backbone_loss=True),
+}
+
+
+def bench_config(idx: int, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from protein_transformer_tpu.config import TrainConfig
+    from protein_transformer_tpu.training.trainer import Trainer
+    from protein_transformer_tpu.data.synthetic import make_dataset
+    from protein_transformer_tpu.data.dataset import collate
+    from protein_transformer_tpu.parallel.mesh import shard_batch
+
+    spec = LADDER[idx]
+    b, l = spec["b"], spec["l"]
+    cfg = TrainConfig(
+        model=spec["model"], d_model=spec["d_model"], d_ff=spec["d_ff"],
+        n_heads=spec["n_heads"], n_layers=spec["n_layers"], loss=spec["loss"],
+        backbone_loss=spec["backbone_loss"], optimizer="adam",
+        lr_scheduling="noam", dropout=0.1, max_seq_len=l, bucket_sizes=(l,),
+        batch_size=b, train_only=True, name=f"ladder{idx}",
+        out_dir="/tmp/bench_runs")
+    data = make_dataset(n_train=b, n_eval=2, min_len=l - 1, max_len=l, seed=0)
+    trainer = Trainer(cfg, data=data)
+    state = trainer.init_state()
+    step_fn = trainer._train_step_fn()
+    batch = collate(trainer.dm.train, np.arange(b), cfg.bucket_sizes,
+                    trainer.dm.max_seq_len,
+                    batch_multiple=trainer.dm.batch_multiple)
+    assert batch.seq.shape == (b, l), batch.seq.shape
+    batch_dev = shard_batch(batch, trainer.mesh)
+    lr_scale = jnp.float32(1.0)
+
+    params, opt_state, step_no = state.params, state.opt_state, state.step
+    for _ in range(2):
+        params, opt_state, step_no, out, _ = step_fn(
+            params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
+        jax.block_until_ready((params, out))
+
+    t0 = time.time()
+    for _ in range(steps):
+        params, opt_state, step_no, out, _ = step_fn(
+            params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
+    jax.block_until_ready((params, out))
+    dt = (time.time() - t0) / steps
+    return {"config": idx, "loss": spec["loss"], "b": b, "l": l,
+            "step_ms": round(dt * 1e3, 2),
+            "res_per_sec": round(b * l / dt, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 3, 4, 5])
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+    for idx in args.configs:
+        print(json.dumps(bench_config(idx, args.steps)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
