@@ -107,6 +107,11 @@ class TrainConfig:
     # rbg generator removes that. auto = rbg on TPU, threefry elsewhere.
     prng_impl: str = "auto"                  # auto | threefry2x32 | rbg
     profile_dir: Optional[str] = None
+    # Device-resident data path (data/device_store.py): splits live on
+    # device, batches are assembled by a jitted gather. auto = on when
+    # single-process and the footprint fits device_data_max_mb.
+    device_data: str = "auto"                # auto | true | false
+    device_data_max_mb: int = 4096
 
     # Derived (filled by finalize())
     vocab_size: int = 22

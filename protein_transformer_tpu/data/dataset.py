@@ -104,12 +104,15 @@ class BinnedDataset(ProteinSplit):
         self.hist_counts, edges = np.histogram(self.lens, bins=bins)
         self.hist_bins = edges[1:]  # right edge of each bin: '( , ]'
         self.bin_probs = self.hist_counts / max(self.hist_counts.sum(), 1)
-        self.bin_map: dict[int, list[int]] = {}
+        self.bin_map: dict[int, np.ndarray] = {}
         # dataset is not necessarily length-sorted here; assign by value
-        for i, ln in enumerate(self.lens):
-            b = int(np.searchsorted(self.hist_bins, ln, side="left"))
-            b = min(b, len(self.hist_bins) - 1)
-            self.bin_map.setdefault(b, []).append(i)
+        bin_of = np.minimum(
+            np.searchsorted(self.hist_bins, self.lens, side="left"),
+            len(self.hist_bins) - 1)
+        for b in np.unique(bin_of):
+            # int64 arrays, not lists: rng.choice over a Python list
+            # re-converts it on every sampled batch
+            self.bin_map[int(b)] = np.flatnonzero(bin_of == b)
 
 
 def binned_batch_sampler(ds: BinnedDataset, batch_size: int,
@@ -130,7 +133,8 @@ def binned_batch_sampler(ds: BinnedDataset, batch_size: int,
     else:
         n_batches = int(np.ceil(len(ds) * repeat_train
                                 * (downsample or 1.0) / batch_size))
-    bins_with_items = [b for b in range(len(ds.hist_bins)) if ds.bin_map.get(b)]
+    bins_with_items = [b for b in range(len(ds.hist_bins))
+                       if len(ds.bin_map.get(b, ())) > 0]
     probs = np.array([ds.bin_probs[b] for b in bins_with_items])
     probs = probs / probs.sum()
     for _ in range(n_batches):
@@ -268,7 +272,11 @@ class DataModule:
                     skip_missing_residues=cfg.skip_missing_res_train,
                     max_seq_len=self.max_seq_len)
 
-    def train_batches(self, rng: np.random.Generator) -> Iterator[Batch]:
+    def train_index_batches(self,
+                            rng: np.random.Generator) -> Iterator[np.ndarray]:
+        """Per-batch dataset index arrays for one training epoch (the
+        sampling half of train_batches; the device-resident data path
+        consumes indices directly, see data/device_store.py)."""
         cfg = self.cfg
         if cfg.batching_order in ("descending", "ascending"):
             # length-ordered epochs (the reference exposes these modes but
@@ -279,38 +287,46 @@ class DataModule:
                 order = order[::-1]
             for _ in range(cfg.repeat_train):
                 for start in range(0, len(order), cfg.batch_size):
-                    idx = order[start:start + cfg.batch_size]
-                    yield collate(self.train, idx, cfg.bucket_sizes,
-                                  self.max_seq_len,
-                                  batch_multiple=self.batch_multiple)
+                    yield order[start:start + cfg.batch_size]
             return
         # Residue budget uses the MAX_SEQ_LEN constant, matching the
         # reference's `batch_size * MAX_SEQ_LEN` (dataset.py:249) even when
         # the loaded dataset's own max length is smaller -- otherwise per-bin
         # batch sizes would shrink on short-protein datasets.
-        sampler = binned_batch_sampler(
+        yield from binned_batch_sampler(
             self.train, cfg.batch_size,
             dynamic_batch=cfg.batch_size * MAX_SEQ_LEN,
             rng=rng, repeat_train=cfg.repeat_train)
-        for idx in sampler:
-            yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len,
+
+    def train_batches(self, rng: np.random.Generator) -> Iterator[Batch]:
+        for idx in self.train_index_batches(rng):
+            yield collate(self.train, idx, self.cfg.bucket_sizes,
+                          self.max_seq_len,
                           batch_multiple=self.batch_multiple)
+
+    def train_eval_index_batches(
+            self, rng: np.random.Generator) -> Iterator[np.ndarray]:
+        """Index batches over a downsampled train set (dataset.py:253-263)."""
+        cfg = self.cfg
+        yield from binned_batch_sampler(
+            self.train, cfg.batch_size, dynamic_batch=None, rng=rng,
+            downsample=cfg.train_eval_downsample)
 
     def train_eval_batches(self, rng: np.random.Generator) -> Iterator[Batch]:
         """Fixed-size batches over a downsampled train set (dataset.py:253-263)."""
-        cfg = self.cfg
-        sampler = binned_batch_sampler(
-            self.train, cfg.batch_size, dynamic_batch=None, rng=rng,
-            downsample=cfg.train_eval_downsample)
-        for idx in sampler:
-            yield collate(self.train, idx, cfg.bucket_sizes, self.max_seq_len,
+        for idx in self.train_eval_index_batches(rng):
+            yield collate(self.train, idx, self.cfg.bucket_sizes,
+                          self.max_seq_len,
                           batch_multiple=self.batch_multiple)
+
+    def eval_index_batches(self, split: str) -> Iterator[np.ndarray]:
+        ds = self.eval_splits[split]
+        order = np.argsort(-ds.lens)  # length-sorted like the reference loader
+        for start in range(0, len(ds), self.cfg.batch_size):
+            yield order[start:start + self.cfg.batch_size]
 
     def eval_batches(self, split: str) -> Iterator[Batch]:
         ds = self.eval_splits[split]
-        cfg = self.cfg
-        order = np.argsort(-ds.lens)  # length-sorted like the reference loader
-        for start in range(0, len(ds), cfg.batch_size):
-            idx = order[start:start + cfg.batch_size]
-            yield collate(ds, idx, cfg.bucket_sizes, self.max_seq_len,
+        for idx in self.eval_index_batches(split):
+            yield collate(ds, idx, self.cfg.bucket_sizes, self.max_seq_len,
                           batch_multiple=self.batch_multiple)

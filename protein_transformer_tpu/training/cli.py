@@ -108,6 +108,9 @@ def create_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--drmsd_impl", choices=["auto", "xla", "pallas"],
                      default="auto")
     tpu.add_argument("--profile_dir", type=str, default=None)
+    tpu.add_argument("--device_data", choices=["auto", "true", "false"],
+                     default="auto")
+    tpu.add_argument("--device_data_max_mb", type=int, default=4096)
     return p
 
 

@@ -209,6 +209,20 @@ class Trainer:
         self.metrics = M.init_metrics(modes)
         self._jit_cache: dict = {}
 
+        # Device-resident data path: the whole split lives on device and
+        # batches are assembled by a jitted gather (host ships only index
+        # vectors). Auto-enabled when the footprint fits; multi-process
+        # keeps the host collate path (per-process row blocks).
+        from protein_transformer_tpu.data import device_store as DS
+        self._DS = DS
+        self.train_store = None
+        self._eval_stores: dict = {}
+        all_splits = [self.dm.train] + list(self.dm.eval_splits.values())
+        self.use_device_data = DS.auto_enabled(cfg, all_splits,
+                                               self.process_count)
+        if self.use_device_data:
+            self.train_store = DS.DeviceStore(self.dm.train, self.mesh)
+
         out_dir = os.path.join(cfg.out_dir, cfg.name or "run")
         os.makedirs(out_dir, exist_ok=True)
         self.out_dir = out_dir
@@ -387,6 +401,40 @@ class Trainer:
                 # (log.py:210-227)
                 W.log_angle_histograms(self.wandb_run, np.asarray(pred_out),
                                        batch.seq, cfg.pad_id)
+    def _device_stream(self, split_obj, store, index_iter):
+        """(meta, device-batch) pairs via the on-device gather path. meta is
+        the same Batch with a HOST protein_mask so loop bookkeeping
+        (protein counts) never syncs on the device."""
+        import dataclasses
+        cfg = self.cfg
+        for idx in index_iter:
+            plan = self._DS.plan_batch(split_obj, idx, cfg.bucket_sizes,
+                                       self.dm.max_seq_len,
+                                       self.dm.batch_multiple)
+            dev = store.batch(plan)
+            yield dataclasses.replace(dev,
+                                      protein_mask=plan.idx_padded >= 0), dev
+
+    def _host_stream(self, batch_iter):
+        """(host-batch, device-batch) pairs via collate + transfer, with the
+        put overlapped on the prefetch thread."""
+        return prefetch(batch_iter, size=2,
+                        transform=lambda b: (b, shard_batch(b, self.mesh)))
+
+    def _eval_store(self, split: str):
+        if split not in self._eval_stores:
+            self._eval_stores[split] = self._DS.DeviceStore(
+                self.dm.eval_splits[split], self.mesh)
+        return self._eval_stores[split]
+
+    def _eval_batch_stream(self, split: str):
+        """Eval batches for a split via whichever data path is active."""
+        if self.use_device_data:
+            return self._device_stream(self.dm.eval_splits[split],
+                                       self._eval_store(split),
+                                       self.dm.eval_index_batches(split))
+        return self.dm.eval_batches(split)
+
     def train_epoch(self, state: TrainState, logger) -> TrainState:
         cfg = self.cfg
         self.metrics = M.reset_for_epoch(self.metrics, "train")
@@ -396,8 +444,12 @@ class Trainer:
         rng_np = np.random.default_rng(cfg.seed + step_i)
         lr_scale = jnp.asarray(self.plateau.scale if self.plateau else 1.0,
                                jnp.float32)
-        batches = prefetch(self.dm.train_batches(rng_np), size=2,
-                           transform=lambda b: (b, shard_batch(b, self.mesh)))
+        if self.train_store is not None:
+            batches = self._device_stream(
+                self.dm.train, self.train_store,
+                self.dm.train_index_batches(rng_np))
+        else:
+            batches = self._host_stream(self.dm.train_batches(rng_np))
         # Software pipeline: keep up to FLUSH_EVERY dispatched steps in
         # flight and fetch their metric scalars with ONE batched device_get.
         # A device->host round trip costs a full link RTT (tens of ms over a
@@ -452,11 +504,17 @@ class Trainer:
         return state
 
     def eval_epoch(self, params, mode: str,
-                   batches: Iterator[Batch], logger) -> None:
+                   batches, logger) -> None:
+        """batches: an iterator of host Batch objects (collate path) or of
+        (meta, device-batch) pairs (device-store path)."""
         self.metrics = M.reset_for_epoch(self.metrics, mode)
         eval_step = self._jit_cache.setdefault("eval", self._eval_step_fn())
-        prefetched = prefetch(batches, size=2,
-                              transform=lambda b: (b, shard_batch(b, self.mesh)))
+        it = iter(batches)
+        first = next(it, None)
+        import itertools
+        chained = itertools.chain([first], it) if first is not None else iter(())
+        prefetched = (chained if isinstance(first, (tuple, type(None)))
+                      else self._host_stream(chained))
         stack = self._jit_cache.setdefault(
             "stack", jax.jit(lambda *vs: jnp.stack(vs)))
         pending: list = []
@@ -548,9 +606,13 @@ class Trainer:
                                else None):
                 state = self.train_epoch(state, logger)
             if cfg.eval_train:
-                self.eval_epoch(state.params, "train",
-                                self.dm.train_eval_batches(
-                                    np.random.default_rng(epoch)), logger)
+                te_rng = np.random.default_rng(epoch)
+                te_batches = (self._device_stream(
+                    self.dm.train, self.train_store,
+                    self.dm.train_eval_index_batches(te_rng))
+                    if self.train_store is not None
+                    else self.dm.train_eval_batches(te_rng))
+                self.eval_epoch(state.params, "train", te_batches, logger)
             M.print_epoch_status("train", self.metrics, start)
             if logger:
                 logger.log(self.metrics, "train", self.start_time,
@@ -567,7 +629,7 @@ class Trainer:
                         continue
                     start = time.time()
                     self.eval_epoch(state.params, split,
-                                    self.dm.eval_batches(split), logger)
+                                    self._eval_batch_stream(split), logger)
                     M.print_epoch_status(split, self.metrics, start)
                 W.log_avg_validation(self.wandb_run, self.metrics,
                                      [s for s in self.dm.eval_splits
@@ -591,7 +653,7 @@ class Trainer:
         if not cfg.train_only and "test" in self.dm.eval_splits:
             start = time.time()
             self.eval_epoch(state.params, "test",
-                            self.dm.eval_batches("test"), logger)
+                            self._eval_batch_stream("test"), logger)
             M.print_epoch_status("test", self.metrics, start)
         if logger:
             logger.close()
