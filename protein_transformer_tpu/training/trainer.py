@@ -451,22 +451,18 @@ class Trainer:
         else:
             batches = self._host_stream(self.dm.train_batches(rng_np))
         # Software pipeline: keep up to FLUSH_EVERY dispatched steps in
-        # flight and fetch their metric scalars with ONE batched device_get.
-        # A device->host round trip costs a full link RTT (tens of ms over a
-        # DCN/tunnel link) regardless of payload, so amortizing it over K
-        # steps keeps the host loop off the critical path. The NaN watchdog
-        # consequently fires up to K batches late -- same loss values,
-        # observed a moment later.
-        stack = self._jit_cache.setdefault(
-            "stack", jax.jit(lambda *vs: jnp.stack(vs)))
+        # flight; each step's packed metric vector starts an ASYNC
+        # device->host copy at dispatch time (copy_to_host_async), so by
+        # flush time the values are already host-side and np.asarray costs
+        # ~nothing -- the link RTT rides behind device compute instead of
+        # stalling the loop. The NaN watchdog consequently fires up to K
+        # batches late -- same loss values, observed a moment later.
         pending: list = []
         t_last_flush = time.time()
 
         def flush():
             nonlocal pending, t_last_flush
-            # ONE device->host fetch for the whole window: the per-step (K,)
-            # metric vectors are stacked on device and pulled as one array.
-            fetched = np.asarray(stack(*[p[0] for p in pending]))
+            fetched = [np.asarray(p[0]) for p in pending]
             # honest residues/sec under run-ahead dispatch: the window's
             # wall time (previous flush -> all K steps complete) is spread
             # evenly over its batches
@@ -485,6 +481,10 @@ class Trainer:
                 state.params, state.opt_state, state.step, batch_dev,
                 self.rng, lr_scale)
             state = TrainState(params, opt_state, step_no)
+            try:
+                out.copy_to_host_async()
+            except AttributeError:  # non-jax array (host fallback paths)
+                pass
             pending.append((out, pred_out, batch, step_i))
             # Structure artifacts render at DISPATCH time so the logged
             # params are the ones labeled with step_i (one optimizer update
@@ -515,14 +515,12 @@ class Trainer:
         chained = itertools.chain([first], it) if first is not None else iter(())
         prefetched = (chained if isinstance(first, (tuple, type(None)))
                       else self._host_stream(chained))
-        stack = self._jit_cache.setdefault(
-            "stack", jax.jit(lambda *vs: jnp.stack(vs)))
         pending: list = []
         t_last_flush = time.time()
 
         def flush():
             nonlocal pending, t_last_flush
-            fetched = np.asarray(stack(*[p[0] for p in pending]))
+            fetched = [np.asarray(p[0]) for p in pending]
             t_now = time.time()
             dt = (t_now - t_last_flush) / max(len(pending), 1)
             for i, (row, (_, n_res)) in enumerate(zip(fetched, pending)):
@@ -533,7 +531,12 @@ class Trainer:
             pending = []
 
         for batch, batch_dev in prefetched:
-            pending.append((eval_step(params, batch_dev), batch.n_res))
+            out = eval_step(params, batch_dev)
+            try:
+                out.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((out, batch.n_res))
             if len(pending) >= self.FLUSH_EVERY:
                 flush()
         if pending:
