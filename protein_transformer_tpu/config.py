@@ -58,6 +58,11 @@ class TrainConfig:
     grad_semantics: str = "mean"
     batching_order: str = "binned-random"
     backbone_loss: bool = False
+    # Under --backbone_loss the reference computes every dRMSD/RMSD metric
+    # on backbone-reduced coordinates (its 'full' columns report backbone
+    # values; losses.py:69-71). full_metrics=True restores genuinely
+    # full-atom reporting (superset; pays the O((14L)^2) sweep per step).
+    full_metrics: bool = False
     bins: int = -1                           # -1 -> 'auto'
     train_eval_downsample: float = 0.10
     # Probe the largest batch size that fits (HBM OOM frontier) before

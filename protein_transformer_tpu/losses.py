@@ -165,14 +165,15 @@ class DrmsdResults(NamedTuple):
 
 
 def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
-                       atom_mask: jax.Array,
-                       impl: str = "xla") -> tuple[jax.Array, ...]:
-    """dRMSD stats for one protein: (L, 14, 3) coords, (L, 14) atom mask."""
-    n = pred_crd.shape[0] * NUM_PREDICTED_COORDS
-    a = pred_crd.reshape(n, 3)
-    b = true_crd.reshape(n, 3)
-    m = atom_mask.reshape(n)
-    full = drmsd_masked(a, b, m, impl)
+                       atom_mask: jax.Array, impl: str = "xla",
+                       backbone_only: bool = False) -> tuple[jax.Array, ...]:
+    """dRMSD stats for one protein: (L, 14, 3) coords, (L, 14) atom mask.
+
+    backbone_only reproduces the reference's --backbone_loss behavior
+    (losses.py:69-71): coordinates are reduced to the backbone BEFORE any
+    dRMSD, so the 'full' statistics equal the backbone ones and the
+    O((14L)^2) full-atom sweep is never built.
+    """
     # Backbone = first 3 slots (N, CA, C) of each residue
     # (structure_utils.get_backbone_from_full_coords:19-32). Compact to the
     # 3L backbone atoms before the pair sweep -- compaction preserves pair
@@ -186,8 +187,15 @@ def _per_protein_drmsd(pred_crd: jax.Array, true_crd: jax.Array,
     b_bb = true_crd[:, :3, :].reshape(-1, 3)
     m_bb = atom_mask[:, :3].reshape(-1)
     bb = drmsd_masked(a_bb, b_bb, m_bb, impl)
-    n_atoms = jnp.maximum(jnp.sum(m), 1)
     n_atoms_bb = jnp.maximum(jnp.sum(m_bb), 1)
+    if backbone_only:
+        return bb, bb / n_atoms_bb, bb, bb / n_atoms_bb
+    n = pred_crd.shape[0] * NUM_PREDICTED_COORDS
+    a = pred_crd.reshape(n, 3)
+    b = true_crd.reshape(n, 3)
+    m = atom_mask.reshape(n)
+    full = drmsd_masked(a, b, m, impl)
+    n_atoms = jnp.maximum(jnp.sum(m), 1)
     return full, full / n_atoms, bb, bb / n_atoms_bb
 
 
@@ -196,7 +204,8 @@ def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
                         protein_mask: jax.Array | None = None,
                         impl: str = "xla",
                         pred_crd: jax.Array | None = None,
-                        with_per_protein: bool = False):
+                        with_per_protein: bool = False,
+                        backbone_only: bool = False):
     """Batch-mean dRMSD family losses, differentiable end-to-end.
 
     pred_sincos: (B, L, 24) model output; true_crd: (B, L, 14, 3) with
@@ -209,11 +218,15 @@ def compute_batch_drmsd(pred_sincos: jax.Array, true_crd: jax.Array,
     pairwise reductions, averaged over the batch as in losses.py:169-172.
     with_per_protein additionally returns the unreduced (B,) statistics
     (used by the reference-faithful gradient-semantics mode).
+    backbone_only: reference --backbone_loss semantics -- every statistic
+    (including the 'full' slots) is computed on backbone-reduced
+    coordinates (reference losses.py:69-71).
     """
     if pred_crd is None:
         angles = inverse_trig_transform(pred_sincos)
         pred_crd = build_coords_batch(angles, seq)
-    per_protein = functools.partial(_per_protein_drmsd, impl=impl)
+    per_protein = functools.partial(_per_protein_drmsd, impl=impl,
+                                    backbone_only=backbone_only)
     full, ln, bb, ln_bb = jax.vmap(per_protein)(
         pred_crd, true_crd, atom_mask)
     if protein_mask is None:

@@ -54,6 +54,10 @@ def create_parser() -> argparse.ArgumentParser:
     t.add_argument("--batching_order", default="binned-random",
                    choices=["descending", "ascending", "binned-random"])
     t.add_argument("--backbone_loss", action="store_true")
+    t.add_argument("--full_metrics", action="store_true",
+                   help="with --backbone_loss, report genuinely full-atom "
+                        "dRMSD/RMSD metrics instead of the reference's "
+                        "backbone-reduced 'full' columns")
     t.add_argument("--grad_semantics", choices=["mean", "reference"],
                    default="mean")
     t.add_argument("--bins", type=int, default=-1)

@@ -99,13 +99,21 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
         from protein_transformer_tpu.protein.geometry import build_coords_batch
         pred_crd = build_coords_batch(angles, batch.seq)
 
+    # Reference --backbone_loss semantics: coordinates reduce to backbone
+    # BEFORE any dRMSD/RMSD, so 'full' metric slots report backbone values
+    # and the O((14L)^2) full-atom sweep never runs (reference
+    # losses.py:69-71 via train.py get_losses backbone_only=...).
+    # --full_metrics restores genuinely full-atom reporting (superset).
+    bb_only = (cfg.backbone_loss
+               and not getattr(cfg, "full_metrics", False))
     if with_drmsd:
         ref_grads = (getattr(cfg, "grad_semantics", "mean") == "reference"
                      and cfg.loss in DRMSD_LOSSES)
         d = L.compute_batch_drmsd(
             pred, batch.crd, batch.seq, batch.crd_mask, batch.protein_mask,
             impl=resolve_drmsd_impl(getattr(cfg, "drmsd_impl", "auto")),
-            pred_crd=pred_crd, with_per_protein=ref_grads)
+            pred_crd=pred_crd, with_per_protein=ref_grads,
+            backbone_only=bb_only)
         if ref_grads:
             d, per = d
         out.update({"drmsd-full": d.drmsd, "lndrmsd-full": d.ln_drmsd,
@@ -143,9 +151,16 @@ def compute_losses(model, params, batch: Batch, cfg: TrainConfig,
         loss = m_full
 
     if with_rmsd:
-        out["rmsd-full"] = L.batch_rmsd_jax(pred_crd, batch.crd,
-                                            batch.crd_mask,
-                                            batch.protein_mask)
+        if bb_only:
+            # reference: rmsd on the same backbone-reduced masked coords
+            # (losses.py:95-97 under backbone_only)
+            out["rmsd-full"] = L.batch_rmsd_jax(
+                pred_crd[:, :, :3], batch.crd[:, :, :3],
+                batch.crd_mask[:, :, :3], batch.protein_mask)
+        else:
+            out["rmsd-full"] = L.batch_rmsd_jax(pred_crd, batch.crd,
+                                                batch.crd_mask,
+                                                batch.protein_mask)
     out["loss"] = loss
     if with_pred:
         out["pred"] = pred

@@ -152,6 +152,39 @@ def test_batch_drmsd_parity_end_to_end():
     assert abs(float(ours.ln_drmsd_bb) - ref_lnbb) < 1e-5
 
 
+def test_batch_drmsd_backbone_only_semantics():
+    """backbone_only reproduces the reference's --backbone_loss behavior
+    (losses.py:69-71): every statistic -- including the 'full' slots --
+    equals the backbone-reduced computation."""
+    from tests.test_geometry import random_protein
+    rng = np.random.default_rng(7)
+    b, lmax = 2, 20
+    seqs = np.full((b, lmax), VOCAB.pad_id, np.int64)
+    sincos = np.zeros((b, lmax, NUM_PREDICTED_ANGLES * 2), np.float32)
+    crd4 = rng.normal(size=(b, lmax, NUM_PREDICTED_COORDS, 3)) \
+        .astype(np.float32) * 5
+    for i, li in enumerate((20, 14)):
+        _, ids, ang = random_protein(rng, li)
+        seqs[i, :li] = ids
+        sincos[i, :li] = np.stack([np.cos(ang), np.sin(ang)],
+                                  -1).reshape(li, -1)
+    res_valid = seqs != VOCAB.pad_id
+    atom_mask = np.repeat(res_valid[:, :, None], NUM_PREDICTED_COORDS, 2)
+    args = (jnp.asarray(sincos), jnp.asarray(crd4), jnp.asarray(seqs),
+            jnp.asarray(atom_mask))
+    full = L.compute_batch_drmsd(*args)
+    bb = L.compute_batch_drmsd(*args, backbone_only=True)
+    # 'full' slots report backbone values...
+    assert float(bb.drmsd) == pytest.approx(float(full.drmsd_bb), rel=1e-6)
+    assert float(bb.ln_drmsd) == pytest.approx(float(full.ln_drmsd_bb),
+                                               rel=1e-6)
+    # ...and bb slots are unchanged
+    assert float(bb.drmsd_bb) == pytest.approx(float(full.drmsd_bb),
+                                               rel=1e-6)
+    # genuinely-full differs from backbone on random coords
+    assert abs(float(full.drmsd) - float(full.drmsd_bb)) > 1e-3
+
+
 def test_combine_drmsd_mse():
     # Parity: losses.combine_drmsd_mse arithmetic (losses.py:15-23).
     for d, mse, w in [(1.0, 1.0, 0.5), (0.02, 0.01, 0.5), (3.0, 0.2, 0.8)]:

@@ -39,7 +39,7 @@ LADDER = {
 }
 
 
-def bench_config(idx: int, steps: int) -> dict:
+def bench_config(idx: int, steps: int, dtype: str = "float32") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +57,7 @@ def bench_config(idx: int, steps: int) -> dict:
         backbone_loss=spec["backbone_loss"], optimizer="adam",
         lr_scheduling="noam", dropout=0.1, max_seq_len=l, bucket_sizes=(l,),
         batch_size=b, train_only=True, name=f"ladder{idx}",
-        out_dir="/tmp/bench_runs")
+        out_dir="/tmp/bench_runs", compute_dtype=dtype)
     data = make_dataset(n_train=b, n_eval=2, min_len=l - 1, max_len=l, seed=0)
     trainer = Trainer(cfg, data=data)
     state = trainer.init_state()
@@ -82,7 +82,7 @@ def bench_config(idx: int, steps: int) -> dict:
     jax.block_until_ready((params, out))
     dt = (time.time() - t0) / steps
     return {"config": idx, "loss": spec["loss"], "b": b, "l": l,
-            "step_ms": round(dt * 1e3, 2),
+            "dtype": dtype, "step_ms": round(dt * 1e3, 2),
             "res_per_sec": round(b * l / dt, 1)}
 
 
@@ -90,9 +90,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="*", default=[1, 3, 4, 5])
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
     for idx in args.configs:
-        print(json.dumps(bench_config(idx, args.steps)), flush=True)
+        print(json.dumps(bench_config(idx, args.steps, args.dtype)),
+              flush=True)
 
 
 if __name__ == "__main__":
