@@ -152,11 +152,17 @@ def auto_enabled(cfg, splits: Sequence[ProteinSplit],
     """Decide the device-data path: explicit flag wins; 'auto' enables when
     single-process and the resident footprint fits the budget."""
     mode = getattr(cfg, "device_data", "auto")
+    if process_count > 1:
+        # multi-process feeds per-process row blocks through the host
+        # collate path (parallel/distributed.py); a replicated device store
+        # cannot be built from one process's device_put.
+        if mode in (True, "true", "on"):
+            print("[device_data] forced off: multi-process runs use the "
+                  "host collate path")
+        return False
     if mode in (True, "true", "on"):
         return True
     if mode in (False, "false", "off"):
-        return False
-    if process_count > 1:
         return False
     budget = getattr(cfg, "device_data_max_mb", 4096) * 1024 * 1024
     return sum(store_nbytes(s) for s in splits) <= budget

@@ -75,6 +75,10 @@ def test_auto_enabled_gating():
     import dataclasses
     cfg_off = dataclasses.replace(cfg_auto, device_data="false")
     assert not auto_enabled(cfg_off, [split], process_count=1)
+    # explicit true still yields to the host path under multi-process
+    cfg_on = dataclasses.replace(cfg_auto, device_data="true")
+    assert auto_enabled(cfg_on, [split], process_count=1)
+    assert not auto_enabled(cfg_on, [split], process_count=2)
     cfg_tiny = dataclasses.replace(cfg_auto, device_data_max_mb=0)
     assert not auto_enabled(cfg_tiny, [split], process_count=1)
     assert store_nbytes(split) > 0
