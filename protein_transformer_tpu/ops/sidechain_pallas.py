@@ -242,7 +242,10 @@ def _run_fwd(bb, anchor, torsions, blen, bang, nsc_f, fidx_f):
     # kernel. Rows are (point, component)-major, so transpose back.
     out_rows = jnp.concatenate([pts[:12], sc])          # (42, Lp)
     out = out_rows[:, :L].T.reshape(L, 14, 3)
-    residuals = (pts, sc, geom, fidx, nsc)
+    # rows 12..41 of pts are zeros (slots built in-kernel) -- keep only the
+    # backbone and anchor rows as residuals; backward rebuilds the full
+    # buffer from these + the kernel's own output
+    residuals = (pts[:12], pts[42:45], sc, geom, fidx, nsc)
     return out, residuals
 
 
@@ -260,11 +263,11 @@ def _sc_build_fwd(bb, anchor, torsions, blen, bang, nsc_f, fidx_f):
 
 
 def _sc_build_bwd(res, g_out):
-    pts, sc, geom, fidx, nsc = res
+    bb_rows, anchor_rows, sc, geom, fidx, nsc = res
     L, dtype = g_out.shape[0], g_out.dtype
-    Lp = pts.shape[1]
+    Lp = bb_rows.shape[1]
     # Full point buffer residual: inputs + built sidechain rows.
-    pts_full = jnp.concatenate([pts[:12], sc, pts[42:45]])
+    pts_full = jnp.concatenate([bb_rows, sc, anchor_rows])
     g_rows = jnp.pad(g_out.reshape(L, 42).T, [(0, 0), (0, Lp - L)])
     g_pts, g_tor = pl.pallas_call(
         _bwd_kernel,

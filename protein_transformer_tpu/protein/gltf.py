@@ -41,7 +41,9 @@ def structure_bonds(seq_ids: np.ndarray) -> np.ndarray:
     train loop) and memoized per sequence (validation logging re-exports the
     same protein every cadence step).
     """
-    seq_ids = np.asarray(seq_ids)
+    # normalized dtype so the byte-string cache key is unambiguous (int32
+    # and int64 arrays with identical bytes must not collide)
+    seq_ids = np.ascontiguousarray(seq_ids, np.int64)
     key = seq_ids.tobytes()
     hit = _BONDS_CACHE.get(key)
     if hit is not None:

@@ -142,6 +142,10 @@ def main(argv=None):
         print(f"[Info] automatically determined batch size: {b}")
         cfg = dataclasses.replace(
             cfg, batch_size=b, automatically_determine_batch_size=False)
+        # drop the probed trainer BEFORE rebuilding: its device-resident
+        # data store (and any probe buffers at the OOM frontier) must be
+        # freed before the new trainer device_puts its own store
+        del trainer
         trainer = Trainer(cfg)
     trainer.train()
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import itertools
 import os
 import time
 from typing import Any, Iterator, Optional
@@ -236,7 +237,10 @@ class Trainer:
         self._DS = DS
         self.train_store = None
         self._eval_stores: dict = {}
-        all_splits = [self.dm.train] + list(self.dm.eval_splits.values())
+        # budget only the stores this run will actually build: train_only
+        # runs never construct eval-split stores
+        all_splits = ([self.dm.train] if cfg.train_only else
+                      [self.dm.train] + list(self.dm.eval_splits.values()))
         self.use_device_data = DS.auto_enabled(cfg, all_splits,
                                                self.process_count)
         if self.use_device_data:
@@ -424,7 +428,6 @@ class Trainer:
         """(meta, device-batch) pairs via the on-device gather path. meta is
         the same Batch with a HOST protein_mask so loop bookkeeping
         (protein counts) never syncs on the device."""
-        import dataclasses
         cfg = self.cfg
         for idx in index_iter:
             plan = self._DS.plan_batch(split_obj, idx, cfg.bucket_sizes,
@@ -530,10 +533,12 @@ class Trainer:
         eval_step = self._jit_cache.setdefault("eval", self._eval_step_fn())
         it = iter(batches)
         first = next(it, None)
-        import itertools
-        chained = itertools.chain([first], it) if first is not None else iter(())
-        prefetched = (chained if isinstance(first, (tuple, type(None)))
-                      else self._host_stream(chained))
+        chained = (itertools.chain([first], it) if first is not None
+                   else iter(()))
+        # host Batch objects need the prefetch+transfer wrapper; the device
+        # path already yields (meta, device-batch) pairs
+        prefetched = (self._host_stream(chained)
+                      if isinstance(first, Batch) else chained)
         pending: list = []
         t_last_flush = time.time()
 

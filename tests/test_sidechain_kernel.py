@@ -59,9 +59,13 @@ def test_fwd_all_amino_acids(monkeypatch):
     seq = jnp.asarray(np.arange(40) % 20, jnp.int32)
     want, got = _both_impls(lambda: G.build_coords(angles, seq), monkeypatch)
     assert float(jnp.max(jnp.abs(got - want))) < 1e-5
-    # dead slots must be exactly zero (GLY has no sidechain atoms)
-    gly = int(np.argmax((np.arange(40) % 20) == 7))
-    del gly  # id layout is vocab-dependent; zero-fill is checked via parity
+    # dead slots must be EXACTLY zero, not merely parity-close: the kernel's
+    # liveness mask is its own code path
+    from protein_transformer_tpu.protein import _ff14sb as ff
+    n_sc = np.asarray(ff.SC_NUM_ATOMS)[np.asarray(seq)]     # (L,)
+    got_np = np.asarray(got)
+    for i in range(len(n_sc)):
+        assert (got_np[i, 4 + int(n_sc[i]):14] == 0.0).all(), i
 
 
 def test_grad_matches_xla(monkeypatch):
