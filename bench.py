@@ -73,6 +73,49 @@ def bench_trainer_loop():
           file=sys.stderr)
 
 
+def bench_eval():
+    """Eval-step throughput at the ladder-top shape (L=500, B=4, all dRMSD
+    family + on-device Kabsch RMSD). Run with BENCH_MODE=eval."""
+    import jax
+    import jax.numpy as jnp
+
+    from protein_transformer_tpu.config import TrainConfig
+    from protein_transformer_tpu.training.trainer import Trainer
+    from protein_transformer_tpu.data.synthetic import make_dataset
+    from protein_transformer_tpu.data.dataset import collate
+    from protein_transformer_tpu.parallel.mesh import shard_batch
+
+    b, l = 4, 500
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    cfg = TrainConfig(
+        model="conv-enc|21,11,3|1,1,1", d_model=1024, d_ff=4096, n_heads=8,
+        n_layers=6, loss="lndrmsd", optimizer="adam", lr_scheduling="noam",
+        max_seq_len=l, bucket_sizes=(l,), batch_size=b, train_only=True,
+        name="bench_eval", out_dir="/tmp/bench_runs")
+    data = make_dataset(n_train=b, n_eval=2, min_len=l - 1, max_len=l,
+                        seed=0)
+    trainer = Trainer(cfg, data=data)
+    state = trainer.init_state()
+    eval_step = trainer._eval_step_fn()
+    batch = collate(trainer.dm.train, np.arange(b), cfg.bucket_sizes,
+                    trainer.dm.max_seq_len,
+                    batch_multiple=trainer.dm.batch_multiple)
+    batch_dev = shard_batch(batch, trainer.mesh)
+    out = eval_step(state.params, batch_dev)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(steps):
+        out = eval_step(state.params, batch_dev)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / steps
+    print(json.dumps({
+        "metric": ("eval residues/sec/chip, conv-enc dm=1024 all-dRMSD + "
+                   "Kabsch RMSD, B=4xL=500"),
+        "value": round(b * l / dt / jax.device_count(), 1),
+        "unit": "residues/sec/chip", "vs_baseline": None}))
+    print(f"# eval step time: {dt*1000:.1f} ms", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -152,5 +195,7 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("BENCH_MODE") == "trainer":
         bench_trainer_loop()
+    elif os.environ.get("BENCH_MODE") == "eval":
+        bench_eval()
     else:
         main()
