@@ -5,6 +5,7 @@ Measures the raw jitted train step (same method as bench.py main) for the
 BASELINE.md config ladder entries that exercise distinct regimes:
 
   1. enc-only dm=64 nl=2, mse            (B=8, L=64)   -- tiny CPU-class
+  2. conv-enc dm=256, mse + noam          (B=8, L=256)  -- conv front-end
   3. enc-only dm=256, drmsd               (B=8, L=256)  -- NeRF in-step
   4. conv-enc dm=512 nl=6, combined       (B=8, L=256)  -- flagship (bench.py)
   5. conv-enc dm=1024, lndrmsd+backbone   (B=4, L=500)  -- big-model ladder top
@@ -28,6 +29,9 @@ enable_compilation_cache()
 LADDER = {
     1: dict(model="enc-only", d_model=64, d_ff=256, n_heads=2, n_layers=2,
             loss="mse", b=8, l=64, backbone_loss=False),
+    2: dict(model="conv-enc|21,11,3|1,1,1", d_model=256, d_ff=1024,
+            n_heads=8, n_layers=4, loss="mse", b=8, l=256,
+            backbone_loss=False),
     3: dict(model="enc-only", d_model=256, d_ff=1024, n_heads=8, n_layers=4,
             loss="drmsd", b=8, l=256, backbone_loss=False),
     4: dict(model="conv-enc|21,11,3|1,1,1", d_model=512, d_ff=2048,
