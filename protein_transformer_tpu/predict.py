@@ -45,8 +45,18 @@ def load_run(run_dir: str, modifier: str = "best"):
 def predict_structures(run_dir: str, data_path: str, split: str = "test",
                        n: int = 5, out_dir: str = "predictions",
                        reconstruct: bool = False,
-                       modifier: str = "best") -> list[str]:
-    """Predict n structures from a split; returns written PDB paths."""
+                       modifier: str = "best",
+                       batch_size: int = 8) -> list[str]:
+    """Predict n structures from a split; returns written PDB paths.
+
+    Inference is BATCHED on the bucket lattice (length-sorted groups of up
+    to batch_size proteins padded to the same static shape), so a whole
+    split compiles a handful of executables and the chip runs dense
+    batches -- vs the reference's one-protein-at-a-time CPU loop
+    (scripts/predict.py). Outputs are per-protein and identical to the
+    unbatched path (padding rows are masked; the builder vmaps per
+    protein)."""
+    import jax
     import jax.numpy as jnp
 
     from protein_transformer_tpu.protein.geometry import (
@@ -58,31 +68,37 @@ def predict_structures(run_dir: str, data_path: str, split: str = "test",
     dm = DataModule(data, cfg)
     ds = dm.eval_splits[split] if split != "train" else dm.train
 
-    paths = []
-    for i in range(min(n, len(ds))):
-        batch = collate(ds, np.array([i]), cfg.bucket_sizes, dm.max_seq_len,
-                        pad_batch=False)
-        li = int(ds.lens[i])
-        if reconstruct:
-            sincos = jnp.asarray(batch.ang)
-        else:
-            sincos = model.apply(params, jnp.asarray(batch.seq),
-                                 jnp.asarray(batch.ang), deterministic=True)
-        angles = inverse_trig_transform(sincos)
-        crd = np.asarray(build_coords_batch(angles,
-                                            jnp.asarray(batch.seq)))[0, :li]
-        seq_str = ds.seqs[i][:li]
-        tag = "recon" if reconstruct else "pred"
-        pdb_path = os.path.join(out_dir, f"{ds.ids[i]}_{tag}.pdb")
-        PdbWriter(crd, seq_str).save_pdb(pdb_path, title=f"{tag} {ds.ids[i]}")
-        paths.append(pdb_path)
+    @jax.jit
+    def infer(seq, ang):
+        sincos = ang if reconstruct else model.apply(
+            params, seq, ang, deterministic=True)
+        return build_coords_batch(inverse_trig_transform(sincos), seq)
 
-        true_crd = np.where(batch.crd_mask[0, :li, :, None],
-                            batch.crd[0, :li], np.nan)
-        true_path = os.path.join(out_dir, f"{ds.ids[i]}_true.pdb")
-        PdbWriter(true_crd, seq_str).save_pdb(true_path,
-                                              title=f"true {ds.ids[i]}")
-        paths.append(true_path)
+    # length-descending order packs same-bucket proteins together
+    sel = np.arange(min(n, len(ds)))
+    order = sel[np.argsort(-ds.lens[sel], kind="stable")]
+    tag = "recon" if reconstruct else "pred"
+    paths = []
+    for start in range(0, len(order), batch_size):
+        idx = order[start:start + batch_size]
+        batch = collate(ds, idx, cfg.bucket_sizes, dm.max_seq_len,
+                        pad_batch=True)
+        crd_all = np.asarray(infer(jnp.asarray(batch.seq),
+                                   jnp.asarray(batch.ang)))
+        for row, i in enumerate(idx):
+            li = int(ds.lens[i])
+            seq_str = ds.seqs[i][:li]
+            pdb_path = os.path.join(out_dir, f"{ds.ids[i]}_{tag}.pdb")
+            PdbWriter(crd_all[row, :li], seq_str).save_pdb(
+                pdb_path, title=f"{tag} {ds.ids[i]}")
+            paths.append(pdb_path)
+
+            true_crd = np.where(batch.crd_mask[row, :li, :, None],
+                                batch.crd[row, :li], np.nan)
+            true_path = os.path.join(out_dir, f"{ds.ids[i]}_true.pdb")
+            PdbWriter(true_crd, seq_str).save_pdb(true_path,
+                                                  title=f"true {ds.ids[i]}")
+            paths.append(true_path)
     return paths
 
 
@@ -95,9 +111,12 @@ def main(argv=None):
     p.add_argument("--out", default="predictions")
     p.add_argument("--reconstruct", action="store_true")
     p.add_argument("--checkpoint", default="best")
+    p.add_argument("--batch", type=int, default=8,
+                   help="inference batch size (bucket-padded)")
     args = p.parse_args(argv)
     paths = predict_structures(args.run_dir, args.data, args.split, args.n,
-                               args.out, args.reconstruct, args.checkpoint)
+                               args.out, args.reconstruct, args.checkpoint,
+                               batch_size=args.batch)
     for path in paths:
         print(path)
 
