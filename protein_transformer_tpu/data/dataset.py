@@ -60,7 +60,10 @@ _jtu.register_dataclass(
 class ProteinSplit:
     """One split: ragged lists of (seq string, angles (L,24), coords (L*14,3)).
 
-    Angles/coords use the reference's storage conventions (NaN = missing).
+    Input angles/coords use the reference's storage conventions
+    (NaN = missing); the stored views are zero-filled with the NaN pattern
+    preserved in ang_masks/crd_masks, so batch assembly is pure slice
+    copies.
     """
 
     def __init__(self, seqs, angs, crds, ids=None,
@@ -81,13 +84,18 @@ class ProteinSplit:
                 continue
             crd = np.asarray(crds[i], np.float32)
             self.seqs.append(seqs[i])
-            self.angs.append(ang)
-            self.crds.append(crd)
             self.ids.append(ids[i])
             self.seq_enc.append(VOCAB.str2array(seqs[i][:max_seq_len]))
-            self.ang_masks.append(np.isfinite(ang))
+            ang_mask = np.isfinite(ang)
+            self.ang_masks.append(ang_mask)
             self.crd_masks.append(
                 np.isfinite(crd).all(-1).reshape(-1, NUM_PREDICTED_COORDS))
+            # store zero-filled copies (NaN pattern lives in the masks), so
+            # batch assembly is pure slice copies with no per-batch np.where
+            # passes; copies, not in-place fills -- the caller's raw arrays
+            # stay untouched
+            self.angs.append(np.where(ang_mask, ang, 0.0))
+            self.crds.append(np.where(np.isfinite(crd), crd, 0.0))
         self.lens = np.array(
             [min(len(s), max_seq_len) for s in self.seqs], np.int64)
         self.max_seq_len = max_seq_len
@@ -201,14 +209,11 @@ def collate(split: ProteinSplit, indices: np.ndarray,
     for row, idx in enumerate(indices):
         li = lens[row]
         seq[row, :li] = split.seq_enc[idx][:li]
-        m = split.ang_masks[idx][:li]
-        ang[row, :li] = np.where(m, split.angs[idx][:li], 0.0)
-        ang_mask[row, :li] = m
-        cm = split.crd_masks[idx][:li]
-        c = split.crds[idx][: li * NUM_PREDICTED_COORDS].reshape(
+        ang[row, :li] = split.angs[idx][:li]
+        ang_mask[row, :li] = split.ang_masks[idx][:li]
+        crd[row, :li] = split.crds[idx][: li * NUM_PREDICTED_COORDS].reshape(
             li, NUM_PREDICTED_COORDS, 3)
-        crd[row, :li] = np.where(cm[..., None], c, 0.0)
-        crd_mask[row, :li] = cm
+        crd_mask[row, :li] = split.crd_masks[idx][:li]
         protein_mask[row] = True
     return Batch(seq, ang, ang_mask, crd, crd_mask, protein_mask,
                  n_res=int(sum(lens)))

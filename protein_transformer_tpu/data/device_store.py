@@ -114,14 +114,12 @@ class DeviceStore:
         for i in range(n):
             li, o = int(lens[i]), int(offsets[i])
             seq_f[o:o + li] = split.seq_enc[i][:li]
-            m = split.ang_masks[i][:li]
-            ang_f[o:o + li] = np.where(m, split.angs[i][:li], 0.0)
-            angm_f[o:o + li] = m
-            cm = split.crd_masks[i][:li]
-            c = split.crds[i][:li * NUM_PREDICTED_COORDS].reshape(
-                li, NUM_PREDICTED_COORDS, 3)
-            crd_f[o:o + li] = np.where(cm[..., None], c, 0.0)
-            crdm_f[o:o + li] = cm
+            # split.angs/crds arrive pre-zero-filled (ProteinSplit.__init__)
+            ang_f[o:o + li] = split.angs[i][:li]
+            angm_f[o:o + li] = split.ang_masks[i][:li]
+            crd_f[o:o + li] = split.crds[i][:li * NUM_PREDICTED_COORDS] \
+                .reshape(li, NUM_PREDICTED_COORDS, 3)
+            crdm_f[o:o + li] = split.crd_masks[i][:li]
 
         host = {"seq": seq_f, "ang": ang_f, "ang_mask": angm_f,
                 "crd": crd_f, "crd_mask": crdm_f,

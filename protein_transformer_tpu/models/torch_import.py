@@ -66,8 +66,9 @@ def _torch_key_for(path: tuple[str, ...]) -> tuple[str, bool]:
         elif re.fullmatch(r"DecoderLayer_(\d+)", m):
             out += f"dec_layers.{m.split('_')[1]}."
         elif m == "MultiHeadedAttention_0":
-            # decoder's first attention is self_attn; encoder's only one too
-            out += "self_attn." if "dec_layers" in out else "self_attn."
+            # first attention is named self_attn in BOTH the encoder and the
+            # decoder of the reference (Encoder.py:40, Decoder.py:42)
+            out += "self_attn."
         elif m == "MultiHeadedAttention_1":
             out += "src_attn."
         elif m in ("wq", "wk", "wv", "wo"):

@@ -647,8 +647,11 @@ class Trainer:
             W.log_final_epoch_summary(self.wandb_run, "train",
                                       self.metrics["train"])
             if self.wandb_run is not None:
-                # epoch-cadence parameter histograms (wandb.watch analogue)
-                W.watch_params(self.wandb_run, jax.device_get(state.params))
+                # epoch-cadence parameter histograms (wandb.watch analogue);
+                # leaves are fetched inside watch_params so multi-host
+                # tensor-parallel shards it cannot address are skipped
+                # rather than crashing a jax.device_get here
+                W.watch_params(self.wandb_run, state.params)
 
             if not cfg.train_only:
                 for split in self.dm.eval_splits:

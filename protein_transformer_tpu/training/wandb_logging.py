@@ -39,16 +39,30 @@ def watch_params(run, params, grads=None) -> None:
         return
     import jax
     import wandb
+
+    def histogram(leaf):
+        # leaves sharded across non-addressable devices (multi-host tensor
+        # parallelism) cannot be fetched from this process -- skip them
+        if not getattr(leaf, "is_fully_addressable", True):
+            return None
+        vals = np.asarray(leaf)
+        # non-finite params must surface through the NaN watchdog's
+        # FloatingPointError, not an np.histogram range ValueError here
+        return wandb.Histogram(
+            np_histogram=np.histogram(np.nan_to_num(vals)))
+
     payload = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         name = "/".join(str(getattr(k, "key", k)) for k in path)
-        payload[f"parameters/{name}"] = wandb.Histogram(
-            np_histogram=np.histogram(np.asarray(leaf)))
+        h = histogram(leaf)
+        if h is not None:
+            payload[f"parameters/{name}"] = h
     if grads is not None:
         for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
             name = "/".join(str(getattr(k, "key", k)) for k in path)
-            payload[f"gradients/{name}"] = wandb.Histogram(
-                np_histogram=np.histogram(np.asarray(leaf)))
+            h = histogram(leaf)
+            if h is not None:
+                payload[f"gradients/{name}"] = h
     run.log(payload, commit=False)
 
 
@@ -83,9 +97,16 @@ def log_checkpoint_summary(run, modifier: str, cur_loss: float, epoch: int,
     hist = metrics["train"]["speed-history"]
     if hist:
         run.summary["avg_training_speed"] = float(np.mean(hist))
-    if not train_only and metrics.get("valid-70", {}).get("speed-history"):
-        run.summary["avg_evaluation_speed"] = float(
-            np.mean(metrics["valid-70"]["speed-history"]))
+    if not train_only:
+        # average over whichever validation splits this dataset carries
+        # (the reference's single dataloader is valid-70; any split counts)
+        hists = [metrics[m]["speed-history"] for m in metrics
+                 if isinstance(metrics.get(m), dict)
+                 and m.startswith("valid")
+                 and metrics[m].get("speed-history")]
+        if hists:
+            run.summary["avg_evaluation_speed"] = float(
+                np.mean(np.concatenate(hists)))
 
 
 def log_final_epoch_summary(run, mode: str, m: dict) -> None:

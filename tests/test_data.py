@@ -88,7 +88,12 @@ def test_bucket_length():
     assert bucket_length(700, buckets, 500) == 500
 
 
-def test_collate_masks(train_ds):
+def test_collate_masks(train_ds, data):
+    # masks must reproduce the RAW NaN pattern (the split stores zero-filled
+    # views; the raw fixture is the ground truth)
+    raw = {pid: (np.asarray(a, np.float32), np.asarray(c, np.float32))
+           for pid, a, c in zip(data["train"]["ids"], data["train"]["ang"],
+                                data["train"]["crd"])}
     idx = np.array([0, 1, 2])
     batch = collate(train_ds, idx, (16, 32, 64))
     assert isinstance(batch, Batch)
@@ -102,13 +107,17 @@ def test_collate_masks(train_ds):
         assert (batch.seq[row, li:] == VOCAB.pad_id).all()
         assert (batch.seq[row, :li] != VOCAB.pad_id).all()
         # angle mask excludes NaN and padding
-        src = train_ds.angs[i][:li]
+        raw_ang, raw_crd = raw[train_ds.ids[i]]
         np.testing.assert_array_equal(batch.ang_mask[row, :li],
-                                      ~np.isnan(src))
+                                      ~np.isnan(raw_ang[:li]))
         assert not batch.ang_mask[row, li:].any()
+        # masked angle entries arrive zero-filled, unmasked match the raw
+        np.testing.assert_array_equal(
+            batch.ang[row, :li],
+            np.where(batch.ang_mask[row, :li], raw_ang[:li], 0.0))
         # coords: finite everywhere, mask matches source NaNs
         assert np.isfinite(batch.crd).all()
-        src_c = train_ds.crds[i][:li * NUM_PREDICTED_COORDS].reshape(
+        src_c = raw_crd[:li * NUM_PREDICTED_COORDS].reshape(
             li, NUM_PREDICTED_COORDS, 3)
         np.testing.assert_array_equal(batch.crd_mask[row, :li],
                                       ~np.isnan(src_c).any(-1))

@@ -195,3 +195,21 @@ def test_group_predictions(tmp_path):
     _, _, _, al_xyz = parse_pdb_atoms(str(aligned_path))
     assert np.sqrt(((al_xyz - true_xyz) ** 2).sum(-1).mean()) < 0.2
     assert (out / "summary.tsv").exists()
+
+
+def test_group_predictions_kabsch_matches_losses():
+    """The script's kabsch() duplicates the numerically-delicate Kabsch
+    construction of losses.kabsch_rmsd (it additionally needs the rotation
+    back); this differential test keeps the two in sync."""
+    from protein_transformer_tpu import losses as L
+    sys.path.insert(0, "/root/repo/ptt_scripts")
+    try:
+        import group_predictions as gp
+    finally:
+        sys.path.remove("/root/repo/ptt_scripts")
+    rng = np.random.default_rng(5)
+    for trial in range(5):
+        a = rng.normal(size=(30, 3)) * 4.0
+        b = rng.normal(size=(30, 3)) * 4.0
+        _, _, _, rmsd_script = gp.kabsch(a, b)
+        assert rmsd_script == pytest.approx(L.kabsch_rmsd(a, b), rel=1e-8)
