@@ -277,6 +277,9 @@ _drmsd_stats_p.defvjp(_stats_fwd, _stats_bwd)
 
 def drmsd_masked_pallas(a: jax.Array, b: jax.Array,
                         mask: jax.Array) -> jax.Array:
-    """Masked dRMSD via the fused kernel (drop-in for losses.drmsd_masked)."""
-    s, c = drmsd_stats_pallas(a, b, mask)
-    return jnp.sqrt(jnp.maximum(s / jnp.maximum(c, 1.0), _DIST_CLAMP))
+    """Masked dRMSD via the fused kernel (drop-in for losses.drmsd_masked).
+
+    Delegates the finalization (count clamp + value floor) to
+    losses.drmsd_masked so those semantics stay single-sourced."""
+    from protein_transformer_tpu.losses import drmsd_masked
+    return drmsd_masked(a, b, mask, impl="pallas")

@@ -87,6 +87,11 @@ def _sidechain_impl() -> str:
     """Sidechain builder implementation: 'xla' (default) or 'pallas'
     (opt-in via PTT_SIDECHAIN_IMPL=pallas).
 
+    The env var is read at TRACE time: set it before the first jit of a
+    function that builds coordinates -- an already-compiled executable
+    keeps whichever path it traced (the var is not part of jit cache
+    keys). For the config-driven equivalent pattern see cfg.drmsd_impl.
+
     Measured on TPU v5e at B=8 L=256 (fwd / fwd+bwd): XLA select-sum path
     0.09 / 0.27 ms vs fused Pallas mega-kernel 0.81 / 1.32 ms. The slot
     chain's (1, L) row ops fill 1/8 of the VPU sublanes and are too small
