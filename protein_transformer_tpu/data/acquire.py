@@ -18,6 +18,7 @@ offline builds and tests use pre-placed files. Layout:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import re
 from typing import Optional
@@ -27,7 +28,7 @@ import numpy as np
 from protein_transformer_tpu.protein.constants import NUM_PREDICTED_COORDS
 from protein_transformer_tpu.protein import _ff14sb as ff
 from protein_transformer_tpu.protein.structure_exceptions import (
-    CoordsetIndexError, NoneStructureError, SequenceError)
+    CoordsetIndexError, MissingFileError, NoneStructureError, SequenceError)
 from protein_transformer_tpu.protein.vocab import (
     THREE_TO_ONE_LETTER_MAP, VOCAB)
 
@@ -112,6 +113,37 @@ def parse_pdb_text(text: str) -> Atoms:
 
 # ------------------------------------------------------------ mmCIF format
 
+def _split_cif_row(s: str) -> list[str]:
+    """Whitespace-split one CIF data row honoring CIF quoting: 'quoted
+    value' / "quoted value" tokens may contain spaces (e.g. atom names like
+    'C1'' or author strings); a naive str.split would shift every later
+    column and silently drop the row at the field-count check."""
+    if "'" not in s and '"' not in s:
+        return s.split()
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i].isspace():
+            i += 1
+            continue
+        if s[i] in "'\"":
+            q = s[i]
+            j = i + 1
+            # CIF closes a quote only at <quote><whitespace-or-EOL>
+            while j < n and not (s[j] == q and (j + 1 == n
+                                                or s[j + 1].isspace())):
+                j += 1
+            out.append(s[i + 1:j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and not s[j].isspace():
+                j += 1
+            out.append(s[i:j])
+            i = j
+    return out
+
+
 def parse_mmcif_text(text: str) -> Atoms:
     """Parse the _atom_site loop of an mmCIF file (the fallback format the
     reference reached through pr.parseCIF, proteinnet2pytorch.py:61)."""
@@ -132,16 +164,14 @@ def parse_mmcif_text(text: str) -> Atoms:
             collecting = True
             continue
         if collecting:
-            if s.startswith(("_", "#", "loop_")) or not s:
-                if s == "loop_":
-                    fields = []
-                    continue
+            # `loop_` is consumed above, so any directive/comment/blank here
+            # ends the _atom_site loop
+            if s.startswith(("_", "#")) or not s:
                 if rows:
                     break
-                in_loop = s == "loop_"
                 collecting = False
                 continue
-            row = s.split()
+            row = _split_cif_row(s)
             if len(row) == len(fields):
                 rows.append(row)
     if not rows:
@@ -158,7 +188,7 @@ def parse_mmcif_text(text: str) -> Atoms:
         return [("" if v in (".", "?") else v) for v in vals]
 
     names = clean(col("label_atom_id"))
-    names = [n.strip('"') for n in names]
+    names = [n.strip("\"'") for n in names]
     res = clean(col("label_comp_id"))
     # auth_asym_id is the chain letter ProteinNet/PDB users see; fall back to
     # the label asym id when absent.
@@ -184,12 +214,22 @@ def parse_mmcif_text(text: str) -> Atoms:
                  np.asarray(occ, np.float64), xyz)
 
 
-def parse_structure_file(path: str) -> Atoms:
+@functools.lru_cache(maxsize=4)
+def _parse_structure_cached(path: str, _mtime: float) -> Atoms:
     with open(path) as f:
         text = f.read()
     if path.endswith((".cif", ".mmcif")):
         return parse_mmcif_text(text)
     return parse_pdb_text(text)
+
+
+def parse_structure_file(path: str) -> Atoms:
+    """Parse a PDB/mmCIF file, memoized per (path, mtime): ProteinNet
+    thinned sets contain many chains/domains per PDB entry, and re-parsing
+    the identical file for each one multiplies build time by the
+    chains-per-entry factor. Callers treat Atoms as read-only (every
+    selection goes through Atoms.take, which copies)."""
+    return _parse_structure_cached(path, os.path.getmtime(path))
 
 
 # ------------------------------------------------------------- selection
@@ -213,17 +253,22 @@ def select_chain(atoms: Atoms, chain: Optional[str] = None,
         else:
             raise NoneStructureError(f"model {model} not present")
     keep = (atoms.model == model) & ~atoms.hetero
-    if chain:
+    # chain=None means no chain filtering; '' is a REAL (blank) chain id --
+    # CASP target files often carry one, and skipping the filter there
+    # would merge chains into chimeric records
+    if chain is not None:
         keep &= np.asarray([c == chain for c in atoms.chain])
     if resnum_range is not None:
         lo, hi = resnum_range
         keep &= (atoms.res_num >= lo) & (atoms.res_num <= hi)
     sel = atoms.take(np.nonzero(keep)[0])
 
-    # altloc resolution: keep the best conformer per (resnum, icode, atom)
+    # altloc resolution: keep the best conformer per (chain, resnum, icode,
+    # atom) -- chain is part of the key so a chain=None (unfiltered)
+    # selection cannot collapse same-numbered atoms across chains
     best: dict[tuple, int] = {}
     for i in range(len(sel)):
-        key = (int(sel.res_num[i]), sel.icode[i], sel.name[i])
+        key = (sel.chain[i], int(sel.res_num[i]), sel.icode[i], sel.name[i])
         if key not in best or sel.occupancy[i] > sel.occupancy[best[key]]:
             best[key] = i
     idx = np.asarray(sorted(best.values()), np.int64)
@@ -243,7 +288,13 @@ def atoms_to_record(atoms: Atoms):
             continue
         key = (int(atoms.res_num[i]), atoms.icode[i])
         rec = residues.setdefault(
-            key, {"res": THREE_TO_ONE_LETTER_MAP[rn], "atoms": {}})
+            key, {"res": THREE_TO_ONE_LETTER_MAP[rn], "res3": rn,
+                  "atoms": {}})
+        if rec["res3"] != rn:
+            # microheterogeneity: two residue TYPES share one number; keep
+            # the first-seen type whole rather than merging atoms of both
+            # into a chimera residue
+            continue
         rec["atoms"].setdefault(atoms.name[i], atoms.xyz[i])
     keys = sorted(residues)
     seq = "".join(residues[k]["res"] for k in keys)
@@ -281,13 +332,16 @@ def parse_astral_summary_file(path: str) -> dict[str, tuple[str, str]]:
 
 def parse_chain_spec(spec: str) -> tuple[str, Optional[tuple[int, int]]]:
     """'A:' -> ('A', None); 'A:12-89' -> ('A', (12, 89)); handles negative
-    start residues like 'B:-5-120' (structure_utils.py:68-75)."""
+    start residues like 'B:-5-120' (structure_utils.py:68-75) and SCOPe
+    boundaries carrying insertion codes like 'A:1B-107' (the icode letter
+    is dropped: range matching is by residue NUMBER, which at worst widens
+    the selection by the sub-numbered residues at the boundaries)."""
     if "," in spec:
         raise ValueError(f"multi-range ASTRAL spec unsupported: {spec}")
     chain, _, resnums = spec.partition(":")
     if not resnums:
         return chain, None
-    m = re.fullmatch(r"(-?\d+)-(-?\d+)", resnums)
+    m = re.fullmatch(r"(-?\d+)[A-Za-z]?-(-?\d+)[A-Za-z]?", resnums)
     if not m:
         raise ValueError(f"bad residue range {resnums!r}")
     return chain, (int(m.group(1)), int(m.group(2)))
@@ -309,7 +363,7 @@ def fetch_structure(pdbid: str, cache_dir: str, fetch: bool = False) -> str:
             if os.path.exists(p):
                 return p
     if not fetch:
-        raise NoneStructureError(
+        raise MissingFileError(
             f"{pdbid}: not in cache {cache_dir!r} and fetching disabled "
             "(pass --fetch to download from RCSB)")
     import urllib.request
@@ -372,10 +426,10 @@ def get_chain_from_proteinnetid(pnid: str, cache_dir: str,
     info = parse_proteinnet_id(pnid)
     if info["kind"] == "test":
         if not targets_dir:
-            raise NoneStructureError(f"{pnid}: no targets_dir configured")
+            raise MissingFileError(f"{pnid}: no targets_dir configured")
         path = os.path.join(targets_dir, f"{info['caspid']}.pdb")
         if not os.path.exists(path):
-            raise NoneStructureError(path)
+            raise MissingFileError(path)
         atoms = parse_structure_file(path)
         # CASP target files are expected to hold one chain; when more are
         # present the reference takes the FIRST chain of the hierarchical
@@ -388,7 +442,7 @@ def get_chain_from_proteinnetid(pnid: str, cache_dir: str,
 
     if info["kind"] == "astral":
         if not astral_map:
-            raise NoneStructureError(f"{pnid}: no ASTRAL mapping loaded")
+            raise MissingFileError(f"{pnid}: no ASTRAL mapping loaded")
         if info["astral"] not in astral_map:
             raise KeyError(info["astral"])
         pdbid, spec = astral_map[info["astral"]]

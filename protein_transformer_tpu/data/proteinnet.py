@@ -30,8 +30,9 @@ from protein_transformer_tpu.protein import measure
 from protein_transformer_tpu.protein.constants import NUM_PREDICTED_COORDS
 from protein_transformer_tpu.protein.structure_exceptions import (
     ContigMultipleMatchingError, CoordsetIndexError, MaskAlignmentError,
-    MissingAtomsError, NonStandardAminoAcidError, NoneStructureError,
-    SequenceError, ShortStructureError, StructureError)
+    MissingAtomsError, MissingFileError, NanValuesError,
+    NonStandardAminoAcidError, NoneStructureError, SequenceError,
+    ShortStructureError, StructureError)
 
 # ---------------------------------------------------------------- errors
 
@@ -51,11 +52,15 @@ ERROR_CODES = (
 )
 ERROR_NAME_TO_CODE = {name: i for i, (name, _d) in enumerate(ERROR_CODES)}
 
+# order matters: subclasses (MissingFileError < NoneStructureError) must
+# be matched before their parents
 _EXCEPTION_TO_ERROR = {
     CoordsetIndexError: "COORDSET_INDEX",
+    NanValuesError: "NAN_VALUES",
     SequenceError: "SEQUENCE_ERROR",
     NonStandardAminoAcidError: "NONSTANDARD_AA",
     MissingAtomsError: "MISSING_ATOMS",
+    MissingFileError: "MISSING_FILE",
     NoneStructureError: "NONE_STRUCTURE",
     ShortStructureError: "SHORT_STRUCTURE",
     ContigMultipleMatchingError: "CONTIG_MULTIPLE_MATCH",
@@ -157,37 +162,41 @@ def parse_proteinnet_records(path: str,
         yield rec
 
 
+def _parse_one_raw_file(path_outdir: tuple) -> dict:
+    """Parse one raw ProteinNet file (module-level so it pickles for
+    multiprocessing.Pool workers)."""
+    path, out_dir = path_outdir
+    recs = {}
+    ids = []
+    for rec in parse_proteinnet_records(path):
+        rid = rec.pop("id", None)
+        if rid is None:
+            continue
+        recs[rid] = rec
+        ids.append(rid)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(
+                out_dir, os.path.basename(path) + ".ids"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+    return recs
+
+
 def parse_raw_proteinnet(input_dir: str, out_dir: Optional[str] = None,
                          n_workers: int = 0) -> dict[str, dict]:
     """Parse every raw file in a directory -> {id: record}; optionally write
     per-file .ids listings (scripts/proteinnet_parsing.py:66-115)."""
     files = [os.path.join(input_dir, f) for f in sorted(os.listdir(input_dir))
              if not f.endswith(".ids")]
-
-    def handle(path):
-        recs = {}
-        ids = []
-        for rec in parse_proteinnet_records(path):
-            rid = rec.pop("id", None)
-            if rid is None:
-                continue
-            recs[rid] = rec
-            ids.append(rid)
-        if out_dir:
-            os.makedirs(out_dir, exist_ok=True)
-            with open(os.path.join(
-                    out_dir, os.path.basename(path) + ".ids"), "w") as f:
-                f.write("\n".join(ids) + "\n")
-        return recs
-
+    jobs = [(path, out_dir) for path in files]
     all_recs: dict[str, dict] = {}
     if n_workers > 1:
         with multiprocessing.Pool(n_workers) as pool:
-            for recs in pool.map(handle, files):
+            for recs in pool.map(_parse_one_raw_file, jobs):
                 all_recs.update(recs)
     else:
-        for path in files:
-            all_recs.update(handle(path))
+        for job in jobs:
+            all_recs.update(_parse_one_raw_file(job))
     return all_recs
 
 
@@ -297,17 +306,27 @@ def build_entry(record: dict, pdb_path: Optional[str] = None,
     ang_full, crd_full = align_observed_to_mask(
         primary, record.get("mask"), seq, ang, crd)
     if not np.isfinite(ang_full).any():
-        raise SequenceError("no finite measured angles")
+        raise NanValuesError("no finite measured angles")
+    # cos/sin of NaN are NaN, so the missing-angle markers survive the trig
+    # transform as-is
     sincos = measure.angles_to_sincos(ang_full)
-    # keep NaN markers through the trig transform
-    sincos[np.isnan(ang_full).repeat(2, axis=-1)] = np.nan
     return primary, sincos.astype(np.float32), crd_full
 
 
 def compute_angle_means(angs: list[np.ndarray]) -> np.ndarray:
     """nanmean over all training angle rows
-    (scripts/proteinnet2pytorch.py:253-257)."""
-    return np.nanmean(np.concatenate(angs), axis=0).astype(np.float32)
+    (scripts/proteinnet2pytorch.py:253-257).
+
+    A sincos column that is NaN across the whole training set (e.g. a chi
+    angle no training protein carries) nanmeans to NaN, which would poison
+    the model's angle-mean output bias (arctanh(NaN)); such columns fall
+    back to 0.
+    """
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # mean of empty slice
+        means = np.nanmean(np.concatenate(angs), axis=0)
+    return np.nan_to_num(means).astype(np.float32)
 
 
 def create_data_dict(splits: dict[str, dict], max_len: int = 500) -> dict:
@@ -358,8 +377,18 @@ def build_dataset(records: dict[str, dict], structure_dir: str,
                 structure = resolve_structure(
                     pnid, structure_dir, targets_dir=targets_dir,
                     astral_map=astral_map, fetch=fetch)
-            except (NoneStructureError, KeyError, ValueError):
+            except NoneStructureError as e:
+                # MissingFileError -> MISSING_FILE; genuine parse/model/
+                # download failures -> NONE_STRUCTURE
+                errors.record(pnid, errors.code_for_exception(e))
+                continue
+            except KeyError:
+                # an id with no ASTRAL mapping has no file to find
                 errors.record(pnid, ERROR_NAME_TO_CODE["MISSING_FILE"])
+                continue
+            except ValueError:
+                # unrecognized id / chain-spec formats
+                errors.record(pnid, ERROR_NAME_TO_CODE["PARSING_ERROR"])
                 continue
             seq, sincos, crd = build_entry(rec, structure=structure,
                                            origin=pnid)

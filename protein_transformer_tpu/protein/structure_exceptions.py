@@ -34,6 +34,15 @@ class NoneStructureError(StructureError):
     """A structure could not be parsed at all."""
 
 
+class MissingFileError(NoneStructureError):
+    """No structure file is available for this id (distinct from parse
+    failures so failure reports attribute build problems correctly)."""
+
+
+class NanValuesError(StructureError):
+    """Measured data contained only NaN/inf entries."""
+
+
 class MaskAlignmentError(StructureError):
     """The observed residues could not be aligned to the ProteinNet mask."""
 

@@ -76,8 +76,53 @@ def test_parse_chain_spec():
     assert aq.parse_chain_spec("A:") == ("A", None)
     assert aq.parse_chain_spec("A:12-89") == ("A", (12, 89))
     assert aq.parse_chain_spec("B:-5-120") == ("B", (-5, 120))
+    # SCOPe boundaries carry insertion codes; the icode letter drops
+    assert aq.parse_chain_spec("A:1B-107") == ("A", (1, 107))
+    assert aq.parse_chain_spec("B:2-77A") == ("B", (2, 77))
     with pytest.raises(ValueError):
         aq.parse_chain_spec("A:12-89,B:1-5")
+
+
+def test_cif_row_quoting():
+    # quoted tokens may contain spaces; naive split would shift columns
+    assert aq._split_cif_row("ATOM 1 N 'VAL A' 2") == \
+        ["ATOM", "1", "N", "VAL A", "2"]
+    assert aq._split_cif_row('ATOM "O5\'" X') == ["ATOM", "O5'", "X"]
+    assert aq._split_cif_row("plain row only") == ["plain", "row", "only"]
+
+
+def test_blank_chain_is_a_real_chain():
+    # '' is a real (blank) chain id in CASP target files -- selection must
+    # filter on it, not merge all chains
+    n = 4
+    atoms = aq.Atoms(
+        name=["CA"] * n, alt_loc=[""] * n, res_name=["ALA"] * n,
+        chain=["", "", "B", "B"], res_num=np.array([1, 2, 1, 2]),
+        icode=[""] * n, model=np.ones(n, np.int64),
+        hetero=np.zeros(n, bool), occupancy=np.ones(n),
+        xyz=np.arange(n * 3, dtype=np.float64).reshape(n, 3))
+    sel = aq.select_chain(atoms, chain="", model=1)
+    assert len(sel) == 2 and all(c == "" for c in sel.chain)
+    # chain=None still means "no filtering"
+    assert len(aq.select_chain(atoms, chain=None, model=1)) == n
+
+
+def test_microheterogeneity_keeps_first_residue_type():
+    # two residue TYPES sharing one residue number must not merge into a
+    # chimera residue
+    n = 4
+    atoms = aq.Atoms(
+        name=["N", "CA", "N", "CA"], alt_loc=["A", "A", "B", "B"],
+        res_name=["ALA", "ALA", "GLY", "GLY"], chain=["A"] * n,
+        res_num=np.array([5, 5, 5, 5]), icode=[""] * n,
+        model=np.ones(n, np.int64), hetero=np.zeros(n, bool),
+        occupancy=np.ones(n),
+        xyz=np.arange(n * 3, dtype=np.float64).reshape(n, 3))
+    seq, crd = aq.atoms_to_record(atoms)
+    assert seq == "A"  # first-seen type wins whole
+    # its coordinates come from the ALA atoms only
+    assert np.allclose(crd[0, 0], atoms.xyz[0])
+    assert np.allclose(crd[0, 1], atoms.xyz[1])
 
 
 def test_pdb_parse_and_chain_selection(two_chain_pdb_text, protein_ab):

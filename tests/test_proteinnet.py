@@ -56,6 +56,30 @@ def test_parse_raw_dir_with_ids(tmp_path):
     assert ids == ["1ABC_1_A", "2XYZ_1_B"]
 
 
+def test_parse_raw_dir_parallel(tmp_path):
+    """n_workers > 1 must actually work: the worker is a module-level
+    function so multiprocessing can pickle it."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "training_30").write_text(RAW_RECORD)
+    recs = pn.parse_raw_proteinnet(str(raw), n_workers=2)
+    assert set(recs) == {"1ABC_1_A", "2XYZ_1_B"}
+
+
+def test_angle_means_all_nan_column_falls_back_to_zero():
+    """A sincos column that is NaN across the training set (a chi no
+    protein carries) must not poison the model's angle-mean bias with
+    NaN (arctanh(NaN))."""
+    a = np.full((3, 24), 0.25, np.float32)
+    a[:, 7] = np.nan  # this column has NO finite value anywhere
+    b = np.full((2, 24), 0.75, np.float32)
+    b[:, 7] = np.nan
+    means = pn.compute_angle_means([a, b])
+    assert np.isfinite(means).all()
+    assert means[7] == 0.0
+    assert abs(means[0] - 0.45) < 1e-6  # (3*0.25 + 2*0.75) / 5
+
+
 def test_align_fast_path():
     primary = "MKVLAA"
     mask = [1, 1, 0, 1, 1, 0]
