@@ -125,8 +125,8 @@ class DeviceStore:
                 "crd": crd_f, "crd_mask": crdm_f,
                 "offsets": offsets, "lens": lens}
         if mesh is not None:
-            from protein_transformer_tpu.parallel.mesh import replicated
-            self.store = jax.device_put(host, replicated(mesh))
+            from protein_transformer_tpu.parallel.mesh import replicate_tree
+            self.store = replicate_tree(host, mesh)
         else:
             self.store = jax.device_put(host)
         self._gather = _gather

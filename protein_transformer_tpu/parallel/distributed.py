@@ -48,10 +48,16 @@ def initialize_from_env() -> tuple[int, int]:
     auto = os.environ.get("PTT_DISTRIBUTED", "") not in ("", "0", "false")
     if not _initialized and (auto or (coord and nproc > 1)):
         if coord and nproc > 1:
+            pid = os.environ.get(_ENV_PID)
+            if pid is None:
+                raise RuntimeError(
+                    f"{_ENV_PID} must be set (0..{nproc - 1}) when "
+                    f"{_ENV_COORD}/{_ENV_NPROC} configure a multi-process "
+                    "run")
             jax.distributed.initialize(
                 coordinator_address=coord,
                 num_processes=nproc,
-                process_id=int(os.environ[_ENV_PID]))
+                process_id=int(pid))
         else:
             jax.distributed.initialize()
         _initialized = True

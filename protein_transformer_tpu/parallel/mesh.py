@@ -19,14 +19,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(shape: Sequence[int] = (-1,),
               axes: Sequence[str] = ("data",),
               devices=None) -> Mesh:
-    """Build a mesh over available devices; -1 infers that axis size."""
+    """Build a mesh over available devices; -1 infers that axis size.
+
+    An inferred axis must divide the device count evenly and an explicit
+    shape must fit -- silently idling devices (or a zero-size axis) hides
+    a throughput bug and, multi-process, can strand a process whose
+    devices fall outside the mesh."""
     devices = devices if devices is not None else jax.devices()
     shape = list(shape)
     n = len(devices)
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
+        if known <= 0 or n % known != 0:
+            raise ValueError(
+                f"mesh shape {shape} cannot be inferred over {n} devices: "
+                f"the fixed axes ({known}) must divide the device count")
         shape[shape.index(-1)] = n // known
     total = int(np.prod(shape))
+    if total > n:
+        raise ValueError(f"mesh shape {shape} needs {total} devices, "
+                         f"only {n} available")
+    if total < n:
+        print(f"[mesh] warning: shape {shape} uses {total} of {n} devices; "
+              f"{n - total} idle")
     mesh_devices = np.asarray(devices[:total]).reshape(shape)
     return Mesh(mesh_devices, tuple(axes))
 

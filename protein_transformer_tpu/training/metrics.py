@@ -20,10 +20,10 @@ LOSS_KEYS = ("drmsd-full", "lndrmsd-full", "mse-full", "combined-full",
 
 
 def init_metrics(modes) -> dict:
+    # improvement/early-stop tracking lives in training.optim's
+    # EarlyStopping/PlateauState machines, not here
     metrics = {
         "history-lr": [0.0],
-        "epoch_last_improved": -1,
-        "best_valid_loss_so_far": np.inf,
         "last_chkpt_time": time.time(),
         "n_batches": 0,
     }
@@ -40,7 +40,6 @@ def reset_for_epoch(metrics: dict, mode: str) -> dict:
     for key in LOSS_KEYS:
         m[f"epoch-{key}"] = 0.0
         m[f"batch-{key}"] = 0.0
-    m["batch-history"] = []
     m["batch-time"] = time.time()
     m["speed-history"] = []
     m["speed"] = 0.0
@@ -49,7 +48,6 @@ def reset_for_epoch(metrics: dict, mode: str) -> dict:
 
 
 def update_batch(metrics: dict, mode: str, losses: dict, n_res: int,
-                 tracking_loss: Optional[float] = None,
                  now: Optional[float] = None) -> dict:
     """Record one batch's losses (update_metrics, log.py:388-436).
 
@@ -73,8 +71,6 @@ def update_batch(metrics: dict, mode: str, losses: dict, n_res: int,
     m["speed"] = n_res / max(now - m["batch-time"], 1e-9)
     m["batch-time"] = now
     m["speed-history"].append(m["speed"])
-    if tracking_loss is not None:
-        m["batch-history"].append(float(tracking_loss))
     return metrics
 
 

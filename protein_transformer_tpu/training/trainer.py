@@ -200,6 +200,21 @@ class Trainer:
         self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
         n_data = self.mesh.shape.get("data", 1) if self.mesh else 1
         self.dm = DataModule(data, cfg, batch_multiple=n_data)
+        # the monitored metric's mode must be one this run actually
+        # evaluates -- otherwise the first epoch end KeyErrors after a full
+        # epoch of training
+        if cfg.es_mode != "train":
+            if cfg.train_only:
+                raise ValueError(
+                    f"--early_stopping_metric {cfg.early_stopping_metric!r} "
+                    "monitors a validation split but --train_only never "
+                    "evaluates one")
+            if cfg.es_mode == "test" or cfg.es_mode not in self.dm.eval_splits:
+                raise ValueError(
+                    f"--early_stopping_metric {cfg.early_stopping_metric!r}: "
+                    f"split {cfg.es_mode!r} is not evaluated during training "
+                    f"(available: train, "
+                    f"{', '.join(s for s in self.dm.eval_splits if s != 'test')})")
         angle_means = (np.zeros(24, np.float32) if cfg.without_angle_means
                        else self.dm.angle_means)
         self.model = make_model(cfg, angle_means)
@@ -283,14 +298,33 @@ class Trainer:
         modifier = cfg.load_chkpt or "best"
         if cfg.restart or not self.ckpt.exists(modifier):
             return state
-        template = {"params": state.params, "opt_state": state.opt_state,
-                    "step": state.step}
-        result = self.ckpt.restore(modifier, template)
-        if result is None:
-            return state
-        restored, meta = result
-        self.start_epoch = int(meta["epoch"]) + 1
-        self.start_time -= float(meta["elapsed"])
+        if cfg.restart_opt:
+            # weights + fresh optimizer: restore WITHOUT the opt_state
+            # template -- the saved optimizer tree may belong to a different
+            # optimizer/schedule config and must not be required to match
+            # (reference train.py:251-258 loads model weights only). Raw
+            # arrays are re-placed onto the live params' shardings.
+            raw = self.ckpt.restore_raw(modifier)
+            if raw is None:
+                return state
+            arrays, meta = raw
+            params = jax.tree.map(
+                lambda live, x: jax.device_put(np.asarray(x), live.sharding),
+                state.params, arrays["params"])
+            restored = {"params": params, "opt_state": None,
+                        "step": jnp.asarray(arrays["step"])}
+        else:
+            template = {"params": state.params,
+                        "opt_state": state.opt_state, "step": state.step}
+            result = self.ckpt.restore(modifier, template)
+            if result is None:
+                return state
+            restored, meta = result
+        # the JSON sidecar can be missing (crash between the collective
+        # array write and the process-0 sidecar write); degrade to epoch 0
+        # bookkeeping rather than refusing to resume the weights
+        self.start_epoch = int(meta.get("epoch", -1)) + 1
+        self.start_time -= float(meta.get("elapsed", 0.0))
         if self.plateau and meta.get("plateau"):
             self.plateau.load_state_dict(dict(meta["plateau"]))
         if meta.get("early_stop"):
@@ -408,9 +442,7 @@ class Trainer:
                 "A nan loss has occurred. Exiting training.")
         self.metrics["history-lr"].append(self._current_lr(step_i))
         self.metrics = M.update_batch(self.metrics, "train", out_host,
-                                      batch.n_res,
-                                      tracking_loss=out_host["loss"],
-                                      now=t_dispatch)
+                                      batch.n_res, now=t_dispatch)
         if logger:
             logger.log(self.metrics, "train", self.start_time)
         if (self.wandb_run is not None

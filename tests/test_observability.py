@@ -97,7 +97,7 @@ def test_csv_logger_granularity(tmp_path):
     logger = M.CsvLogger(path, "mse")
     losses = {k: 1.0 for k in M.LOSS_KEYS}
     losses["loss"] = 1.0
-    metrics = M.update_batch(metrics, "train", losses, 100, tracking_loss=1.0)
+    metrics = M.update_batch(metrics, "train", losses, 100)
     logger.log(metrics, "train", 0.0)
     metrics = M.end_of_epoch(metrics, "train")
     logger.log(metrics, "train", 0.0, end_of_epoch=True)

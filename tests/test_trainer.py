@@ -75,6 +75,52 @@ def test_checkpoint_resume(tmp_path, data):
     assert same
 
 
+def test_restart_opt_with_changed_optimizer(tmp_path, data):
+    """--restart_opt must load weights even when the optimizer/schedule
+    config changed (the saved opt_state tree no longer matches)."""
+    cfg = small_cfg(tmp_path, epochs=1, name="ro", optimizer="adam")
+    tr = Trainer(cfg, data=data)
+    state = tr.train()
+    cfg2 = small_cfg(tmp_path, epochs=1, name="ro", optimizer="sgd",
+                     restart_opt=True)
+    tr2 = Trainer(cfg2, data=data)
+    s2 = tr2.maybe_restore(tr2.init_state())
+    leaves1 = jax.tree.leaves(state.params)
+    leaves2 = jax.tree.leaves(s2.params)
+    assert all(np.allclose(a, b) for a, b in zip(leaves1, leaves2))
+    # fresh optimizer state of the NEW optimizer
+    assert s2.opt_state is not None
+
+
+def test_resume_survives_missing_meta_sidecar(tmp_path, data):
+    """A crash between the array write and the process-0 sidecar write must
+    not permanently break resume."""
+    import os
+    cfg = small_cfg(tmp_path, epochs=1, name="nometa")
+    tr = Trainer(cfg, data=data)
+    state = tr.train()
+    os.remove(os.path.join(str(tmp_path), "nometa", "checkpoints",
+                           "best.meta.json"))
+    tr2 = Trainer(small_cfg(tmp_path, epochs=1, name="nometa"), data=data)
+    s2 = tr2.maybe_restore(tr2.init_state())
+    assert tr2.start_epoch == 0  # bookkeeping degrades, weights load
+    leaves1 = jax.tree.leaves(state.params)
+    leaves2 = jax.tree.leaves(s2.params)
+    assert all(np.allclose(a, b) for a, b in zip(leaves1, leaves2))
+
+
+def test_es_mode_validation(tmp_path, data):
+    """Monitoring a split this run never evaluates fails fast at init, not
+    with a KeyError after the first epoch."""
+    import pytest
+    with pytest.raises(ValueError, match="train_only"):
+        Trainer(small_cfg(tmp_path, name="esv", train_only=True,
+                          early_stopping_metric="valid-70-mse"), data=data)
+    with pytest.raises(ValueError, match="not evaluated"):
+        Trainer(small_cfg(tmp_path, name="esv2", train_only=False,
+                          early_stopping_metric="test-mse"), data=data)
+
+
 def test_restart_skips_restore(tmp_path, data):
     cfg = small_cfg(tmp_path, epochs=1, name="rst")
     Trainer(cfg, data=data).train()
