@@ -145,6 +145,49 @@ class DeviceStore:
         return Batch(*fields, n_res=plan.n_res)
 
 
+class LazyBatch:
+    """Batch facade for host bookkeeping on the fused device path.
+
+    The trainer's fused store-step gathers the batch INSIDE the training
+    jit (one dispatch per step instead of gather + step), so no device
+    Batch object exists on the host. Loop bookkeeping only needs the cheap
+    host fields (n_res, protein_mask); array fields materialize on demand
+    via one extra gather dispatch -- which only happens on the rare
+    structure-logging / wandb-histogram cadences.
+    """
+
+    def __init__(self, store: "DeviceStore", plan: BatchPlan):
+        self._store, self._plan = store, plan
+        self.n_res = plan.n_res
+        self.protein_mask = plan.idx_padded >= 0
+        self._dev: Batch | None = None
+
+    def _materialize(self) -> Batch:
+        if self._dev is None:
+            self._dev = self._store.batch(self._plan)
+        return self._dev
+
+    @property
+    def seq(self):
+        return self._materialize().seq
+
+    @property
+    def ang(self):
+        return self._materialize().ang
+
+    @property
+    def ang_mask(self):
+        return self._materialize().ang_mask
+
+    @property
+    def crd(self):
+        return self._materialize().crd
+
+    @property
+    def crd_mask(self):
+        return self._materialize().crd_mask
+
+
 def auto_enabled(cfg, splits: Sequence[ProteinSplit],
                  process_count: int = 1) -> bool:
     """Decide the device-data path: explicit flag wins; 'auto' enables when

@@ -337,12 +337,12 @@ class Trainer:
 
     # ---------------- jitted steps ----------------
 
-    def _train_step_fn(self):
+    def _train_body(self):
+        """The un-jitted training step body, shared by the host-batch jit
+        (_train_step_fn) and the fused gather+step jit
+        (_train_store_step_fn)."""
         cfg, model, tx = self.cfg, self.model, self.tx
 
-        # donate params/opt_state buffers: they are consumed every step, so
-        # XLA can update in place instead of allocating fresh copies
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(state_params, opt_state, step_no, batch: Batch, rng,
                  lr_scale):
             # Disjoint stream domains: fold in a distinct constant per stream
@@ -368,15 +368,65 @@ class Trainer:
 
         return step
 
-    def _eval_step_fn(self):
+    def _train_step_fn(self):
+        # donate params/opt_state buffers: they are consumed every step, so
+        # XLA can update in place instead of allocating fresh copies
+        return functools.partial(jax.jit, donate_argnums=(0, 1))(
+            self._train_body())
+
+    def _gathered_batch(self, store: dict, idx, lb: int):
+        """Assemble a Batch from the device store INSIDE an enclosing jit
+        (the fused dispatch), constrained to the same row shardings the
+        standalone gather produces."""
+        from protein_transformer_tpu.data.device_store import _gather_impl
+        from protein_transformer_tpu.protein.vocab import VOCAB
+        fields = _gather_impl(store, idx, lb=lb, pad_id=VOCAB.pad_id)
+        if self.mesh is not None:
+            from protein_transformer_tpu.parallel.mesh import batch_sharding
+            sh = batch_sharding(self.mesh)
+            fields = tuple(jax.lax.with_sharding_constraint(f, sh)
+                           for f in fields)
+        return Batch(*fields, n_res=jnp.zeros((), jnp.int32))
+
+    def _train_store_step_fn(self):
+        """Fused batch-gather + training step: ONE jit dispatch per step on
+        the device-resident data path (the host ships only the index
+        vector). Halves the per-step dispatch overhead vs gather-then-step;
+        the batch never round-trips through a standalone gather output."""
+        body = self._train_body()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnames=("lb",))
+        def step(state_params, opt_state, step_no, store, idx, rng,
+                 lr_scale, *, lb):
+            batch = self._gathered_batch(store, idx, lb)
+            return body(state_params, opt_state, step_no, batch, rng,
+                        lr_scale)
+
+        return step
+
+    def _eval_body(self):
         cfg, model = self.cfg, self.model
 
-        @functools.partial(jax.jit, static_argnames=("with_rmsd",))
         def step(params, batch: Batch, with_rmsd=True):
             _, out = compute_losses(model, params, batch, cfg,
                                     deterministic=True, with_drmsd=True,
                                     with_rmsd=with_rmsd)
             return pack_metrics(out)
+
+        return step
+
+    def _eval_step_fn(self):
+        return functools.partial(jax.jit, static_argnames=("with_rmsd",))(
+            self._eval_body())
+
+    def _eval_store_step_fn(self):
+        """Fused batch-gather + eval step (see _train_store_step_fn)."""
+        body = self._eval_body()
+
+        @functools.partial(jax.jit, static_argnames=("lb",))
+        def step(params, store, idx, *, lb):
+            return body(params, self._gathered_batch(store, idx, lb))
 
         return step
 
@@ -457,17 +507,16 @@ class Trainer:
                 W.log_angle_histograms(self.wandb_run, np.asarray(pred_out),
                                        batch.seq, cfg.pad_id)
     def _device_stream(self, split_obj, store, index_iter):
-        """(meta, device-batch) pairs via the on-device gather path. meta is
-        the same Batch with a HOST protein_mask so loop bookkeeping
-        (protein counts) never syncs on the device."""
+        """(meta, (store, plan)) pairs for the fused device-data path. meta
+        is a LazyBatch: host n_res/protein_mask eagerly (loop bookkeeping
+        never syncs on the device), array fields gathered on demand. The
+        actual batch assembly happens INSIDE the fused step jit."""
         cfg = self.cfg
         for idx in index_iter:
             plan = self._DS.plan_batch(split_obj, idx, cfg.bucket_sizes,
                                        self.dm.max_seq_len,
                                        self.dm.batch_multiple)
-            dev = store.batch(plan)
-            yield dataclasses.replace(dev,
-                                      protein_mask=plan.idx_padded >= 0), dev
+            yield self._DS.LazyBatch(store, plan), (store, plan)
 
     def _host_stream(self, batch_iter):
         """(host-batch, device-batch) pairs via collate + transfer, with the
@@ -492,8 +541,12 @@ class Trainer:
     def train_epoch(self, state: TrainState, logger) -> TrainState:
         cfg = self.cfg
         self.metrics = M.reset_for_epoch(self.metrics, "train")
-        train_step = self._jit_cache.setdefault("train",
-                                                self._train_step_fn())
+        if self.train_store is not None:
+            train_store_step = self._jit_cache.setdefault(
+                "train_store", self._train_store_step_fn())
+        else:
+            train_step = self._jit_cache.setdefault("train",
+                                                    self._train_step_fn())
         step_i = int(state.step)  # host-side step counter (no device syncs)
         rng_np = np.random.default_rng(cfg.seed + step_i)
         lr_scale = jnp.asarray(self.plateau.scale if self.plateau else 1.0,
@@ -530,10 +583,18 @@ class Trainer:
             t_last_flush = t_now
             pending = []
 
-        for batch, batch_dev in batches:
-            params, opt_state, step_no, out, pred_out = train_step(
-                state.params, state.opt_state, state.step, batch_dev,
-                self.rng, lr_scale)
+        for batch, payload in batches:
+            if isinstance(payload, Batch):
+                params, opt_state, step_no, out, pred_out = train_step(
+                    state.params, state.opt_state, state.step, payload,
+                    self.rng, lr_scale)
+            else:
+                store, plan = payload
+                params, opt_state, step_no, out, pred_out = \
+                    train_store_step(
+                        state.params, state.opt_state, state.step,
+                        store.store, jnp.asarray(plan.idx_padded),
+                        self.rng, lr_scale, lb=plan.lb)
             state = TrainState(params, opt_state, step_no)
             try:
                 out.copy_to_host_async()
@@ -563,6 +624,9 @@ class Trainer:
         (meta, device-batch) pairs (device-store path)."""
         self.metrics = M.reset_for_epoch(self.metrics, mode)
         eval_step = self._jit_cache.setdefault("eval", self._eval_step_fn())
+        eval_store_step = self._jit_cache.setdefault(
+            "eval_store", self._eval_store_step_fn()) \
+            if self.use_device_data else None
         it = iter(batches)
         first = next(it, None)
         chained = (itertools.chain([first], it) if first is not None
@@ -586,8 +650,14 @@ class Trainer:
             t_last_flush = t_now
             pending = []
 
-        for batch, batch_dev in prefetched:
-            out = eval_step(params, batch_dev)
+        for batch, payload in prefetched:
+            if isinstance(payload, Batch):
+                out = eval_step(params, payload)
+            else:
+                store, plan = payload
+                out = eval_store_step(params, store.store,
+                                      jnp.asarray(plan.idx_padded),
+                                      lb=plan.lb)
             try:
                 out.copy_to_host_async()
             except AttributeError:
