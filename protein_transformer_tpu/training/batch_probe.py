@@ -81,9 +81,32 @@ def probe_trainer_batch_size(trainer, length: int | None = None,
     from protein_transformer_tpu.parallel.mesh import shard_batch
 
     length = length or trainer.dm.max_seq_len
-    step_fn = trainer._train_step_fn()
     state = trainer.init_state()
     ds = trainer.dm.train
+
+    if trainer.train_store is not None:
+        # probe the PRODUCTION executable: on the device-data path training
+        # runs the fused gather+step, whose live set includes the gather
+        # temporaries alongside the resident store -- probing the host-batch
+        # step there would report a slightly optimistic maximum
+        store_step = trainer._train_store_step_fn()
+        store = trainer.train_store
+
+        def try_batch(b):
+            idx = np.resize(np.arange(len(ds)), b)
+            plan = trainer._DS.plan_batch(ds, idx, (length,), length,
+                                          trainer.dm.batch_multiple)
+            params = jax.tree.map(jnp.copy, state.params)
+            opt_state = jax.tree.map(jnp.copy, state.opt_state)
+            _p, _o, _s, out, _pred = store_step(
+                params, opt_state, state.step, store.store,
+                jnp.asarray(plan.idx_padded), trainer.rng, jnp.float32(1.0),
+                lb=plan.lb)
+            jax.block_until_ready(out)
+
+        return find_largest_batch_size(try_batch, **kwargs)
+
+    step_fn = trainer._train_step_fn()
 
     def try_batch(b):
         idx = np.resize(np.arange(len(ds)), b)

@@ -386,7 +386,12 @@ class Trainer:
             sh = batch_sharding(self.mesh)
             fields = tuple(jax.lax.with_sharding_constraint(f, sh)
                            for f in fields)
-        return Batch(*fields, n_res=jnp.zeros((), jnp.int32))
+        # n_res recomputed in-graph (gather pads dead/overflow rows with
+        # pad_id, so this equals the host plan's n_res) -- a traced value,
+        # not the host path's python int, but safe for any future in-jit
+        # consumer.
+        n_res = jnp.sum(fields[0] != VOCAB.pad_id).astype(jnp.int32)
+        return Batch(*fields, n_res=n_res)
 
     def _train_store_step_fn(self):
         """Fused batch-gather + training step: ONE jit dispatch per step on
@@ -562,20 +567,39 @@ class Trainer:
         # device->host copy at dispatch time (copy_to_host_async), so by
         # flush time the values are already host-side and np.asarray costs
         # ~nothing -- the link RTT rides behind device compute instead of
-        # stalling the loop. The NaN watchdog consequently fires up to K
-        # batches late -- same loss values, observed a moment later.
+        # stalling the loop. The NaN watchdog does NOT wait for the flush:
+        # every iteration _check_ready polls the oldest in-flight rows
+        # non-blockingly (is_ready + the already-started async copy), so a
+        # non-finite loss at step N aborts within ~1-2 dispatches -- the
+        # reference's abort-on-offending-batch semantics (log.py:183-185) --
+        # while CSV rows still drain on the window cadence.
+        # pending entries: [out, pred, batch, step_i, host_row|None]
         pending: list = []
         t_last_flush = time.time()
 
+        def check_ready():
+            for p in pending:
+                if p[4] is not None:
+                    continue
+                out = p[0]
+                ready = getattr(out, "is_ready", None)
+                if ready is not None and not ready():
+                    break  # steps execute in dispatch order; later ones wait
+                p[4] = np.asarray(out)
+                if not np.isfinite(p[4][0]):  # METRIC_KEYS[0] == "loss"
+                    raise FloatingPointError(
+                        "A nan loss has occurred. Exiting training.")
+
         def flush():
             nonlocal pending, t_last_flush
-            fetched = [np.asarray(p[0]) for p in pending]
+            fetched = [p[4] if p[4] is not None else np.asarray(p[0])
+                       for p in pending]
             # honest residues/sec under run-ahead dispatch: the window's
             # wall time (previous flush -> all K steps complete) is spread
             # evenly over its batches
             t_now = time.time()
             dt = (t_now - t_last_flush) / max(len(pending), 1)
-            for i, (row, (_, pred, b, s_i)) in enumerate(
+            for i, (row, (_, pred, b, s_i, _r)) in enumerate(
                     zip(fetched, pending)):
                 self._process_train_outputs(
                     unpack_metrics(row), pred, b, s_i,
@@ -600,7 +624,8 @@ class Trainer:
                 out.copy_to_host_async()
             except AttributeError:  # non-jax array (host fallback paths)
                 pass
-            pending.append((out, pred_out, batch, step_i))
+            pending.append([out, pred_out, batch, step_i, None])
+            check_ready()
             # Structure artifacts render at DISPATCH time so the logged
             # params are the ones labeled with step_i (one optimizer update
             # ahead of the batch's forward pass, not FLUSH_EVERY of them).
@@ -621,12 +646,10 @@ class Trainer:
     def eval_epoch(self, params, mode: str,
                    batches, logger) -> None:
         """batches: an iterator of host Batch objects (collate path) or of
-        (meta, device-batch) pairs (device-store path)."""
+        (LazyBatch, (store, plan)) pairs (device-store path, see
+        _device_stream)."""
         self.metrics = M.reset_for_epoch(self.metrics, mode)
         eval_step = self._jit_cache.setdefault("eval", self._eval_step_fn())
-        eval_store_step = self._jit_cache.setdefault(
-            "eval_store", self._eval_store_step_fn()) \
-            if self.use_device_data else None
         it = iter(batches)
         first = next(it, None)
         chained = (itertools.chain([first], it) if first is not None
@@ -654,6 +677,11 @@ class Trainer:
             if isinstance(payload, Batch):
                 out = eval_step(params, payload)
             else:
+                # built lazily on the first tuple payload: dispatch is by
+                # payload type, so a device stream works regardless of which
+                # flag (use_device_data vs train_store) gated the caller
+                eval_store_step = self._jit_cache.setdefault(
+                    "eval_store", self._eval_store_step_fn())
                 store, plan = payload
                 out = eval_store_step(params, store.store,
                                       jnp.asarray(plan.idx_padded),

@@ -84,6 +84,42 @@ def test_auto_enabled_gating():
     assert store_nbytes(split) > 0
 
 
+def test_fused_store_step_matches_host_step(tmp_path):
+    """The fused gather+step jit (_train_store_step_fn) must produce the
+    SAME packed metrics as the host-batch step (_train_step_fn) run on the
+    standalone-gathered batch -- guarding _gathered_batch's field order,
+    shardings, and mask semantics."""
+    import jax.numpy as jnp
+    from protein_transformer_tpu.training.trainer import Trainer
+
+    data = make_dataset(n_train=8, n_eval=2, min_len=10, max_len=24, seed=2)
+    cfg = TrainConfig(
+        model="enc-only", d_model=16, d_ff=32, n_heads=2, n_layers=1,
+        loss="combined", batch_size=4, max_seq_len=24, bucket_sizes=(24,),
+        epochs=1, name="fused", out_dir=str(tmp_path), device_data="true",
+        dropout=0.0, train_only=True, seed=5)
+    tr = Trainer(cfg, data=data)
+    assert tr.train_store is not None
+    state = tr.init_state()
+    _meta, (store, plan) = next(tr._device_stream(
+        tr.dm.train, tr.train_store,
+        tr.dm.train_index_batches(np.random.default_rng(0))))
+
+    def fresh_state():
+        return (jax.tree.map(jnp.copy, state.params),
+                jax.tree.map(jnp.copy, state.opt_state))
+
+    p1, o1 = fresh_state()
+    _p, _o, _s, out_host, _ = tr._train_step_fn()(
+        p1, o1, state.step, store.batch(plan), tr.rng, jnp.float32(1.0))
+    p2, o2 = fresh_state()
+    _p, _o, _s, out_fused, _ = tr._train_store_step_fn()(
+        p2, o2, state.step, store.store, jnp.asarray(plan.idx_padded),
+        tr.rng, jnp.float32(1.0), lb=plan.lb)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_host),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_trainer_device_path_matches_host(tmp_path):
     """Same config + seed: device-data and host-collate paths produce the
     same per-epoch training metrics."""

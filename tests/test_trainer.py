@@ -154,6 +154,32 @@ def test_nan_watchdog(tmp_path, data):
         tr.train()
 
 
+def test_nan_watchdog_detects_within_two_steps(tmp_path, data):
+    """The watchdog must NOT trail the 32-step metric-drain window: the
+    non-blocking readiness poll aborts within ~2 dispatches of the bad step
+    (reference aborts on the offending batch, log.py:183-185)."""
+    cfg = small_cfg(tmp_path, learning_rate=1e9, epochs=1, optimizer="sgd",
+                    clip=0.0, repeat_train=40)
+    tr = Trainer(cfg, data=data)
+    assert tr.FLUSH_EVERY >= 32
+    n_dispatched = [0]
+    inner = tr._train_store_step_fn() if tr.train_store is not None \
+        else tr._train_step_fn()
+
+    def counting(*a, **kw):
+        n_dispatched[0] += 1
+        return inner(*a, **kw)
+
+    key = "train_store" if tr.train_store is not None else "train"
+    tr._jit_cache[key] = counting
+    with pytest.raises(FloatingPointError):
+        tr.train()
+    # lr=1e9 sgd blows params up at the step-0 update -> loss NaN at step 1;
+    # detection may run one dispatch ahead of execution
+    assert n_dispatched[0] <= 4, (
+        f"watchdog fired only after {n_dispatched[0]} dispatches")
+
+
 def test_enc_dec_training(tmp_path, data):
     cfg = small_cfg(tmp_path, model="enc-dec", epochs=1, loss="mse")
     tr = Trainer(cfg, data=data)
