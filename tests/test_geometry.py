@@ -87,13 +87,67 @@ def test_coords_match_reference_all_aas():
 
 @needs_reference
 def test_coords_match_reference_long():
-    """L=500 chain: prefix-composition error must stay within the gate."""
+    """L=500 chain vs the reference builder's own fp32 output.
+
+    The 5e-3 gate here is dominated by the REFERENCE's error, not ours: its
+    nerf forces every displacement vector to float32 (Structure.py:63) and
+    compounds that rounding over ~1500 sequential steps, measuring 1.5e-3 A
+    from a true float64 oracle at L=500 -- while the associative-scan builder
+    measures 7.2e-5 A (see test_long_chain_f64_oracle, which enforces the
+    real <=1e-3 gate against exact arithmetic)."""
     rng = np.random.default_rng(11)
     seq_str, ids, ang = random_protein(rng, 500)
     ref = reference_build(seq_str, ang)
     ours = np.asarray(geometry.build_coords(jnp.asarray(ang), jnp.asarray(ids)))
     err = np.abs(ours - ref).max()
     assert err < 5e-3, f"max coordinate error {err:.2e} A at L=500"
+
+
+def _f64_oracle_backbone(ang: np.ndarray) -> np.ndarray:
+    """True float64 sequential-NeRF mainchain+O oracle (no per-step f32
+    rounding -- unlike reference Structure.py:63). Returns (L, 4, 3)."""
+    ang = ang.astype(np.float64)
+
+    def nerf64(a, b, c, l, theta, chi):
+        w = b - a
+        w = w / np.linalg.norm(w)
+        x = c - b
+        x = x / np.linalg.norm(x)
+        z = np.cross(w, x)
+        z = z / np.linalg.norm(z)
+        y = np.cross(z, x)
+        d = np.array([-l * np.cos(theta), l * np.sin(theta) * np.cos(chi),
+                      l * np.sin(theta) * np.sin(chi)])
+        return c + np.stack([x, y, z], axis=1) @ d
+
+    from protein_transformer_tpu.protein._ff14sb import BB_CONST as BL
+    L = len(ang)
+    n0 = np.array([0.0, 0.0, 0.001])
+    ca0 = n0 + np.array([BL["n-ca"], 0.0, 0.0])
+    t13 = np.pi - ang[0, 3]
+    c0 = ca0 + BL["ca-c"] * np.array([np.cos(t13), np.sin(t13), 0.0])
+    pts = [n0, ca0, c0]
+    for i in range(1, L):
+        pts.append(nerf64(*pts[-3:], BL["c-n"], ang[i - 1, 4], ang[i - 1, 1]))
+        pts.append(nerf64(*pts[-3:], BL["n-ca"], ang[i - 1, 5], ang[i - 1, 2]))
+        pts.append(nerf64(*pts[-3:], BL["ca-c"], ang[i, 3], ang[i, 0]))
+    bb = np.array(pts).reshape(L, 3, 3)
+    o = np.stack([nerf64(bb[i, 0], bb[i, 1], bb[i, 2], BL["c-o"],
+                         BL["ca-c-o"], ang[i, 1] - np.pi) for i in range(L)])
+    return np.concatenate([bb, o[:, None]], axis=1)
+
+
+def test_long_chain_f64_oracle():
+    """The BASELINE.md <=1e-3 A gate at L=500, enforced against EXACT
+    arithmetic: a float64 sequential-NeRF oracle. The fp32 associative-scan
+    builder measures ~7e-5 A here (gate 3e-4 for headroom); the composition
+    algebra itself is an identity (1.7e-12 A when run in f64)."""
+    rng = np.random.default_rng(11)
+    _, ids, ang = random_protein(rng, 500)
+    truth = _f64_oracle_backbone(ang)
+    ours = np.asarray(geometry.build_backbone(jnp.asarray(ang)))
+    err = np.abs(ours - truth).max()
+    assert err < 3e-4, f"fp32 scan error vs f64 oracle {err:.2e} A at L=500"
 
 
 def test_golden_fixture():
