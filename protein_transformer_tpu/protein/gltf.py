@@ -80,13 +80,13 @@ def structure_bonds(seq_ids: np.ndarray) -> np.ndarray:
 _BONDS_CACHE: dict = {}
 
 
-def coords_to_glb(coords: np.ndarray, seq_ids: np.ndarray,
-                  atom_mask: np.ndarray | None = None) -> bytes:
-    """(L, 14, 3) coordinates -> glTF 2.0 binary blob.
+def _structure_arrays(coords: np.ndarray, seq_ids: np.ndarray,
+                      atom_mask: np.ndarray | None = None,
+                      color: tuple | None = None):
+    """One structure's (positions, colors, line indices) for a LINES mesh.
 
-    atom_mask: optional (L, 14) bool; absent atoms (and their bonds) are
-    dropped. Vertices carry COLOR_0 (backbone vs sidechain).
-    """
+    color: optional fixed RGBA overriding the backbone/sidechain palette
+    (used to distinguish the true structure in a combined scene)."""
     coords = np.asarray(coords, np.float32).reshape(-1, 3)
     length = len(seq_ids)
     n = length * NUM_PREDICTED_COORDS
@@ -104,11 +104,54 @@ def coords_to_glb(coords: np.ndarray, seq_ids: np.ndarray,
     keep = atom_mask[bonds[:, 0]] & atom_mask[bonds[:, 1]]
     indices = new_index[bonds[keep]].astype("<u4").reshape(-1)
 
-    slot = np.tile(np.arange(NUM_PREDICTED_COORDS), length)[atom_mask]
-    colors = np.where((slot < 4)[:, None],
-                      np.array(_BB_COLOR, np.float32),
-                      np.array(_SC_COLOR, np.float32)).astype("<f4")
+    if color is not None:
+        colors = np.broadcast_to(np.asarray(color, np.float32),
+                                 (len(positions), 4)).astype("<f4")
+    else:
+        slot = np.tile(np.arange(NUM_PREDICTED_COORDS), length)[atom_mask]
+        colors = np.where((slot < 4)[:, None],
+                          np.array(_BB_COLOR, np.float32),
+                          np.array(_SC_COLOR, np.float32)).astype("<f4")
+    return positions, colors, indices
 
+
+def scene_to_glb(structures) -> bytes:
+    """Multiple structures -> ONE glTF 2.0 binary scene.
+
+    structures: iterable of (coords, seq_ids, atom_mask|None, color|None)
+    tuples; all merge into a single LINES primitive with per-vertex colors.
+    Capability parity with the reference's aligned true+pred single-scene
+    gltf export (PDB_Creator.py:186-212), minus PyMOL.
+    """
+    parts = [_structure_arrays(c, s, m, col) for c, s, m, col in structures]
+    offset = 0
+    pos_l, col_l, idx_l = [], [], []
+    for positions, colors, indices in parts:
+        pos_l.append(positions)
+        col_l.append(colors)
+        idx_l.append(indices + np.uint32(offset))
+        offset += len(positions)
+    positions = np.concatenate(pos_l) if pos_l else np.zeros((0, 3), "<f4")
+    colors = np.concatenate(col_l) if col_l else np.zeros((0, 4), "<f4")
+    indices = (np.concatenate(idx_l) if idx_l
+               else np.zeros((0,), "<u4")).astype("<u4")
+    return _pack_glb(positions, colors, indices)
+
+
+def coords_to_glb(coords: np.ndarray, seq_ids: np.ndarray,
+                  atom_mask: np.ndarray | None = None) -> bytes:
+    """(L, 14, 3) coordinates -> glTF 2.0 binary blob.
+
+    atom_mask: optional (L, 14) bool; absent atoms (and their bonds) are
+    dropped. Vertices carry COLOR_0 (backbone vs sidechain).
+    """
+    positions, colors, indices = _structure_arrays(coords, seq_ids,
+                                                   atom_mask)
+    return _pack_glb(positions, colors, indices)
+
+
+def _pack_glb(positions: np.ndarray, colors: np.ndarray,
+              indices: np.ndarray) -> bytes:
     pos_bytes = positions.tobytes()
     col_bytes = colors.tobytes()
     idx_bytes = indices.tobytes()
@@ -167,3 +210,9 @@ def save_glb(path: str, coords: np.ndarray, seq_ids: np.ndarray,
              atom_mask: np.ndarray | None = None) -> None:
     with open(path, "wb") as f:
         f.write(coords_to_glb(coords, seq_ids, atom_mask))
+
+
+def save_glb_scene(path: str, structures) -> None:
+    """Write multiple structures into one .glb scene (see scene_to_glb)."""
+    with open(path, "wb") as f:
+        f.write(scene_to_glb(structures))

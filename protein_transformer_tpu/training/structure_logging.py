@@ -18,9 +18,35 @@ import queue
 import threading
 import numpy as np
 
-from protein_transformer_tpu.protein.gltf import save_glb
+from protein_transformer_tpu.protein.gltf import save_glb, save_glb_scene
 from protein_transformer_tpu.protein.pdb import PdbWriter
 from protein_transformer_tpu.protein.vocab import VOCAB
+
+# the true structure's color in the combined aligned scene (pred keeps the
+# backbone/sidechain palette) -- the reference colors the two structures
+# differently in its single PyMOL scene (PDB_Creator.py:186-212)
+_TRUE_COLOR = (0.55, 0.55, 0.55, 1.0)
+
+
+def kabsch_align(mobile: np.ndarray, target: np.ndarray):
+    """Least-squares rigid alignment of mobile onto target ((N, 3) each).
+
+    Returns (transform, rmsd) where transform(x) maps any (..., 3) points
+    with the fitted rotation+translation. Same math as losses.kabsch_rmsd,
+    but exposing the transform so a whole structure can be moved into the
+    target's frame (reference: PDB_Creator.py:186-199 via PyMOL align)."""
+    mu_m, mu_t = mobile.mean(0), target.mean(0)
+    h = (mobile - mu_m).T @ (target - mu_t)
+    u, _s, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+
+    def transform(x):
+        return (x - mu_m) @ r.T + mu_t
+
+    rmsd = float(np.sqrt(np.mean(
+        np.sum((transform(mobile) - target) ** 2, axis=-1))))
+    return transform, rmsd
 
 
 def render_structure_png(path: str, pred_crd: np.ndarray,
@@ -94,6 +120,21 @@ class StructureLogger:
             PdbWriter(masked, seq_str).save_pdb(true_path, title="true")
             save_glb(os.path.join(sub, "true.glb"), true_crd[:li],
                      seq_ids[sel], atom_mask=true_mask[:li])
+        # ONE aligned scene: pred Kabsch-aligned onto true, both structures
+        # in a single .glb, plus the alignment RMSD of this snapshot
+        # (reference: PDB_Creator.py:186-212 single PyMOL scene + align)
+        align_rmsd = None
+        scene_path = os.path.join(sub, f"{step:05d}_scene.glb")
+        valid = true_mask[:li].reshape(-1)
+        if valid.sum() >= 3:
+            tf, align_rmsd = kabsch_align(
+                pred_crd[:li].reshape(-1, 3)[valid],
+                true_crd[:li].reshape(-1, 3)[valid])
+            aligned = tf(pred_crd[:li].reshape(-1, 3)).reshape(li, -1, 3)
+            save_glb_scene(scene_path, [
+                (aligned, seq_ids[sel], None, None),
+                (true_crd[:li], seq_ids[sel], true_mask[:li], _TRUE_COLOR),
+            ])
         png_path = None
         if self.save_pngs:
             png_path = os.path.join(sub, f"{step:05d}.png")
@@ -108,6 +149,10 @@ class StructureLogger:
             payload = {f"{name}_mol": wandb.Molecule(pred_path),
                        f"{name}_3d": wandb.Object3D(open(glb_path, "rb"),
                                                     file_type="glb")}
+            if align_rmsd is not None:
+                payload[f"{name}_scene"] = wandb.Object3D(
+                    open(scene_path, "rb"), file_type="glb")
+                payload[f"{name}_align_rmsd"] = align_rmsd
             if png_path:
                 payload[f"{name}_png"] = wandb.Image(png_path)
             self.wandb_run.log(payload, commit=False)

@@ -435,6 +435,34 @@ class Trainer:
 
         return step
 
+    def _grad_probe_fn(self):
+        cfg, model = self.cfg, self.model
+
+        @jax.jit
+        def fn(params, batch: Batch):
+            def loss_fn(p):
+                loss, _ = compute_losses(model, p, batch, cfg,
+                                         deterministic=True)
+                return loss
+
+            return jax.grad(loss_fn)(params)
+
+        return fn
+
+    def _probe_gradients(self, state: TrainState):
+        """Gradient pytree on one deterministic probe batch. The epoch-
+        cadence analogue of the reference's wandb.watch(model) gradient
+        histograms (train.py:616-667): torch hooks autograd per backward,
+        here one extra fwd+bwd per epoch samples the same distributions
+        without touching the donated training step."""
+        from protein_transformer_tpu.data.dataset import collate
+        fn = self._jit_cache.setdefault("grad_probe", self._grad_probe_fn())
+        n = min(self.cfg.batch_size, len(self.dm.train))
+        batch = collate(self.dm.train, np.arange(n), self.cfg.bucket_sizes,
+                        self.dm.max_seq_len,
+                        batch_multiple=self.dm.batch_multiple)
+        return fn(state.params, shard_batch(batch, self.mesh))
+
     # ---------------- structure logging ----------------
 
     def _structure_coords_fn(self):
@@ -777,11 +805,12 @@ class Trainer:
             W.log_final_epoch_summary(self.wandb_run, "train",
                                       self.metrics["train"])
             if self.wandb_run is not None:
-                # epoch-cadence parameter histograms (wandb.watch analogue);
-                # leaves are fetched inside watch_params so multi-host
-                # tensor-parallel shards it cannot address are skipped
-                # rather than crashing a jax.device_get here
-                W.watch_params(self.wandb_run, state.params)
+                # epoch-cadence parameter + gradient histograms (wandb.watch
+                # analogue); leaves are fetched inside watch_params so
+                # multi-host tensor-parallel shards it cannot address are
+                # skipped rather than crashing a jax.device_get here
+                W.watch_params(self.wandb_run, state.params,
+                               grads=self._probe_gradients(state))
 
             if not cfg.train_only:
                 for split in self.dm.eval_splits:

@@ -5,6 +5,7 @@ import json
 import struct
 
 import numpy as np
+import jax
 import pytest
 
 from protein_transformer_tpu.protein.gltf import coords_to_glb, structure_bonds
@@ -210,3 +211,100 @@ def test_epoch_bb_metrics_divided_by_n_batches():
     assert m["epoch-mse-sc"] == pytest.approx(5.0 / 2)
     # full metrics accumulate-and-average as before
     assert m["epoch-drmsd-full"] == pytest.approx((3.0 + 5.0) / 2)
+
+
+def _fake_wandb(monkeypatch):
+    import sys
+    import types
+    fake = types.ModuleType("wandb")
+
+    class _Obj:
+        def __init__(self, *a, **kw):
+            pass
+
+    fake.Histogram = _Obj
+    fake.Molecule = _Obj
+    fake.Object3D = _Obj
+    fake.Image = _Obj
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    return fake
+
+
+def test_kabsch_align_recovers_rigid_motion():
+    from protein_transformer_tpu.training.structure_logging import (
+        kabsch_align)
+    rng = np.random.default_rng(0)
+    target = rng.normal(size=(30, 3))
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    mobile = target @ rot.T + np.array([1.0, -2.0, 3.0])
+    tf, rmsd = kabsch_align(mobile, target)
+    assert rmsd < 1e-6
+    np.testing.assert_allclose(tf(mobile), target, atol=1e-6)
+
+
+def test_scene_glb_merges_structures():
+    from protein_transformer_tpu.protein.gltf import scene_to_glb
+    seq, crd, mask = _random_structure()
+    single = coords_to_glb(crd, seq, mask)
+    scene = scene_to_glb([(crd, seq, mask, None),
+                          (crd + 5.0, seq, mask, (0.5, 0.5, 0.5, 1.0))])
+    assert scene[:4] == b"glTF" and single[:4] == b"glTF"
+
+    def pos_count(blob):
+        json_len = struct.unpack_from("<I", blob, 12)[0]
+        meta = json.loads(blob[20:20 + json_len])
+        return meta["accessors"][0]["count"]
+
+    # the combined scene carries both structures' vertices in one primitive
+    assert pos_count(scene) == 2 * pos_count(single)
+
+
+def test_structure_logger_aligned_scene_and_rmsd(tmp_path, monkeypatch):
+    """The combined aligned scene + align-RMSD metric (the reference's
+    single-PyMOL-scene export, PDB_Creator.py:186-212)."""
+    _fake_wandb(monkeypatch)
+    from protein_transformer_tpu.training.structure_logging import (
+        StructureLogger)
+    seq, crd, mask = _random_structure()
+    # pred = rigidly moved true: align-RMSD must be ~0 over masked atoms
+    th = 0.3
+    rot = np.array([[np.cos(th), -np.sin(th), 0],
+                    [np.sin(th), np.cos(th), 0], [0, 0, 1.0]], np.float32)
+    pred = crd @ rot.T + np.float32([2.0, 0.0, -1.0])
+    run = FakeRun()
+    logger = StructureLogger(str(tmp_path), wandb_run=run)
+    logger.log(3, "train", seq, pred, crd, mask)
+    logger.close()
+    sub = tmp_path / "structures" / "train"
+    assert (sub / "00003_scene.glb").exists()
+    (payload,) = [p for p in run.logged if "train_align_rmsd" in p]
+    assert payload["train_align_rmsd"] < 1e-4
+    assert "train_scene" in payload
+
+
+def test_trainer_gradient_histograms(tmp_path, monkeypatch):
+    """_probe_gradients feeds real gradient histograms into watch_params
+    (the reference's wandb.watch(model) gradient stream, train.py:616-667)."""
+    _fake_wandb(monkeypatch)
+    from protein_transformer_tpu.config import TrainConfig
+    from protein_transformer_tpu.data.synthetic import make_dataset
+    from protein_transformer_tpu.training.trainer import Trainer
+    from protein_transformer_tpu.training import wandb_logging as W
+
+    cfg = TrainConfig(model="enc-only", d_model=16, d_ff=32, n_heads=2,
+                      n_layers=1, batch_size=4, epochs=1, loss="mse",
+                      bucket_sizes=(16,), max_seq_len=16, train_only=True,
+                      out_dir=str(tmp_path), name="g", dropout=0.0)
+    data = make_dataset(n_train=6, n_eval=2, min_len=8, max_len=16, seed=0)
+    tr = Trainer(cfg, data=data)
+    state = tr.init_state()
+    grads = tr._probe_gradients(state)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+    run = FakeRun()
+    W.watch_params(run, state.params, grads=grads)
+    (payload,) = run.logged
+    assert any(k.startswith("gradients/") for k in payload)
