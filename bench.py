@@ -162,12 +162,31 @@ def main():
             params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
         jax.block_until_ready((params, out))
 
-    t0 = time.time()
-    for _ in range(steps):
-        params, opt_state, step_no, out, _ = step_fn(
-            params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
-    jax.block_until_ready((params, out))
-    dt = (time.time() - t0) / steps
+    # p50/p95 via paired-window differencing. Per-step sync timing would
+    # serialize the dispatch pipeline through the ~26 ms-RTT tunnel and
+    # measure the link, not the chip; a single long window hides variance
+    # (the round-3 "8.3 vs 8.9 ms" spread). Instead each repetition times a
+    # K-step and a 2K-step window, both ending in one blocking sync, and
+    # (T2 - T1) / K cancels the fixed sync/dispatch-ramp cost exactly.
+    def window(k):
+        nonlocal params, opt_state, step_no, out
+        t0 = time.time()
+        for _ in range(k):
+            params, opt_state, step_no, out, _ = step_fn(
+                params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
+        jax.block_until_ready(out)
+        return time.time() - t0
+
+    k = max(5, steps // 10)
+    reps = 8  # 8 x 3k timed steps >= 120 at the default BENCH_STEPS
+    samples, syncs = [], []
+    for _ in range(reps):
+        t1, t2 = window(k), window(2 * k)
+        samples.append((t2 - t1) / k)
+        syncs.append(t1 - (t2 - t1))  # fixed overhead per window
+    dt = float(np.median(samples))
+    p95 = float(np.percentile(samples, 95))
+    sync_ms = 1000 * float(np.median(syncs))
 
     res_per_sec = b * l / dt
     n_chips = jax.device_count()
@@ -188,7 +207,9 @@ def main():
         "vs_baseline": (round(vs_baseline / n_chips, 2)
                         if vs_baseline else None),
     }))
-    print(f"# step time: {dt*1000:.1f} ms; devices: {n_chips}; "
+    print(f"# step time p50: {dt*1000:.2f} ms, p95: {p95*1000:.2f} ms "
+          f"({len(samples)} paired windows of {k}/{2*k} steps, "
+          f"window sync overhead ~{sync_ms:.1f} ms); devices: {n_chips}; "
           f"steps/sec: {1/dt:.2f}", file=sys.stderr)
 
 

@@ -12,6 +12,7 @@ import dataclasses
 import functools
 import itertools
 import os
+import sys
 import time
 from typing import Any, Iterator, Optional
 
@@ -55,6 +56,34 @@ def pack_metrics(out: dict) -> jax.Array:
 def unpack_metrics(row) -> dict:
     """Host-side inverse of pack_metrics for one fetched row."""
     return {k: float(v) for k, v in zip(METRIC_KEYS, row)}
+
+
+class LoopProfiler:
+    """Per-phase host-time accumulator for train_epoch (PTT_LOOP_PROFILE=1).
+
+    Accumulates wall time spent in each host-side phase of the step loop so
+    the wall-vs-device-step residue can be attributed (sampler/plan, jit
+    dispatch, watchdog poll, metric flush, structure logging) instead of
+    guessed. Near-zero overhead: two perf_counter calls per phase."""
+
+    def __init__(self):
+        self.t = {}
+        self.steps = 0
+
+    def add(self, phase: str, dt: float) -> None:
+        self.t[phase] = self.t.get(phase, 0.0) + dt
+
+    def report(self, wall: float) -> str:
+        n = max(self.steps, 1)
+        lines = [f"# loop profile: {self.steps} steps, "
+                 f"{1e3 * wall / n:.2f} ms/step wall"]
+        acct = 0.0
+        for k, v in sorted(self.t.items(), key=lambda kv: -kv[1]):
+            lines.append(f"#   {k:<18} {1e3 * v / n:6.2f} ms/step")
+            acct += v
+        lines.append(f"#   {'(unaccounted)':<18} "
+                     f"{1e3 * (wall - acct) / n:6.2f} ms/step")
+        return "\n".join(lines)
 
 
 def resolve_drmsd_impl(impl: str) -> str:
@@ -604,6 +633,8 @@ class Trainer:
         # pending entries: [out, pred, batch, step_i, host_row|None]
         pending: list = []
         t_last_flush = time.time()
+        prof = LoopProfiler() if os.environ.get("PTT_LOOP_PROFILE") else None
+        t_epoch0 = time.perf_counter()
 
         def check_ready():
             for p in pending:
@@ -635,7 +666,18 @@ class Trainer:
             t_last_flush = t_now
             pending = []
 
-        for batch, payload in batches:
+        batch_it = iter(batches)
+        while True:
+            t0 = time.perf_counter()
+            nxt = next(batch_it, None)
+            if nxt is None:
+                break
+            batch, payload = nxt
+            if prof:
+                t1 = time.perf_counter()
+                prof.add("plan/collate", t1 - t0)
+                prof.steps += 1
+                t0 = t1
             if isinstance(payload, Batch):
                 params, opt_state, step_no, out, pred_out = train_step(
                     state.params, state.opt_state, state.step, payload,
@@ -652,8 +694,16 @@ class Trainer:
                 out.copy_to_host_async()
             except AttributeError:  # non-jax array (host fallback paths)
                 pass
+            if prof:
+                t1 = time.perf_counter()
+                prof.add("dispatch", t1 - t0)
+                t0 = t1
             pending.append([out, pred_out, batch, step_i, None])
             check_ready()
+            if prof:
+                t1 = time.perf_counter()
+                prof.add("watchdog poll", t1 - t0)
+                t0 = t1
             # Structure artifacts render at DISPATCH time so the logged
             # params are the ones labeled with step_i (one optimizer update
             # ahead of the batch's forward pass, not FLUSH_EVERY of them).
@@ -663,11 +713,22 @@ class Trainer:
             if (cfg.log_val_struct_step
                     and step_i % cfg.log_val_struct_step == 0):
                 self._log_validation_structures(state, step_i)
+            if prof:
+                t1 = time.perf_counter()
+                prof.add("structure log", t1 - t0)
+                t0 = t1
             step_i += 1
             if len(pending) >= self.FLUSH_EVERY:
                 flush()
+            if prof:
+                prof.add("flush/CSV", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         if pending:
             flush()
+        if prof:
+            prof.add("flush/CSV", time.perf_counter() - t0)
+            print(prof.report(time.perf_counter() - t_epoch0),
+                  file=sys.stderr)
         self.metrics = M.end_of_epoch(self.metrics, "train")
         return state
 

@@ -79,14 +79,28 @@ def bench_config(idx: int, steps: int, dtype: str = "float32") -> dict:
             params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
         jax.block_until_ready((params, out))
 
-    t0 = time.time()
-    for _ in range(steps):
-        params, opt_state, step_no, out, _ = step_fn(
-            params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
-    jax.block_until_ready((params, out))
-    dt = (time.time() - t0) / steps
+    # Paired-window differencing (same as bench.py main): time a K-step and
+    # a 2K-step window, each ending in one blocking sync; (T2-T1)/K cancels
+    # the fixed per-window sync/dispatch cost (~1 tunnel RTT) exactly.
+    def window(k):
+        nonlocal params, opt_state, step_no, out
+        t0 = time.time()
+        for _ in range(k):
+            params, opt_state, step_no, out, _ = step_fn(
+                params, opt_state, step_no, batch_dev, trainer.rng, lr_scale)
+        jax.block_until_ready(out)
+        return time.time() - t0
+
+    k = max(5, steps // 10)
+    samples = []
+    for _ in range(8):
+        t1, t2 = window(k), window(2 * k)
+        samples.append((t2 - t1) / k)
+    dt = float(np.median(samples))
+    p95 = float(np.percentile(samples, 95))
     return {"config": idx, "loss": spec["loss"], "b": b, "l": l,
             "dtype": dtype, "step_ms": round(dt * 1e3, 2),
+            "step_ms_p95": round(p95 * 1e3, 2),
             "res_per_sec": round(b * l / dt, 1)}
 
 
