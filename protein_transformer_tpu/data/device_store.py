@@ -15,8 +15,11 @@ marks real rows, dead rows gather protein 0 but are fully masked out.
 
 Reference parity: this replaces the torch DataLoader + collate of
 reference dataset.py:26-54 (same Batch contract), not a new feature
-surface. Multi-process runs keep the host path (each process feeds its own
-row block; see parallel/distributed.py).
+surface. Multi-process runs participate: the store replicates globally
+(parallel.mesh.replicate_tree via make_array_from_callback) and the per-step
+index vector is handed to pjit as numpy, which replicates it onto the global
+mesh -- every process plans the same batches from identically-seeded
+samplers, so the gathered global batch is bit-identical to single-process.
 """
 from __future__ import annotations
 
@@ -139,8 +142,11 @@ class DeviceStore:
 
     def batch(self, plan: BatchPlan) -> Batch:
         """Assemble the planned batch on device (async dispatch, no host
-        data motion beyond the index vector)."""
-        fields = self._gather(self.store, jnp.asarray(plan.idx_padded),
+        data motion beyond the index vector). The index vector goes in as
+        numpy: pjit replicates it onto the gather's mesh, which is what
+        makes this path work under multi-process too (an explicit
+        jnp.asarray would commit it to local device 0 only)."""
+        fields = self._gather(self.store, plan.idx_padded,
                               lb=plan.lb, pad_id=VOCAB.pad_id)
         return Batch(*fields, n_res=plan.n_res)
 
@@ -189,17 +195,17 @@ class LazyBatch:
 
 
 def auto_enabled(cfg, splits: Sequence[ProteinSplit],
-                 process_count: int = 1) -> bool:
+                 process_count: int = 1, has_mesh: bool = True) -> bool:
     """Decide the device-data path: explicit flag wins; 'auto' enables when
-    single-process and the resident footprint fits the budget."""
+    the resident footprint fits the budget. Multi-process runs participate
+    too (the store replicates globally via make_array_from_callback and the
+    per-step index vector rides pjit's numpy replication) but need a mesh to
+    address the non-local devices."""
     mode = getattr(cfg, "device_data", "auto")
-    if process_count > 1:
-        # multi-process feeds per-process row blocks through the host
-        # collate path (parallel/distributed.py); a replicated device store
-        # cannot be built from one process's device_put.
+    if process_count > 1 and not has_mesh:
         if mode in (True, "true", "on"):
-            print("[device_data] forced off: multi-process runs use the "
-                  "host collate path")
+            print("[device_data] forced off: multi-process without a mesh "
+                  "cannot build a globally-replicated store")
         return False
     if mode in (True, "true", "on"):
         return True

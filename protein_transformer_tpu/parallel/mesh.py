@@ -81,7 +81,20 @@ def shard_batch(batch, mesh: Optional[Mesh]):
 
 
 def replicate_tree(tree, mesh: Optional[Mesh]):
+    """Replicate a host pytree across the mesh.
+
+    Works multi-process: every process holds the identical full host value
+    (identically-seeded/loaded data), and make_array_from_callback hands each
+    addressable device its (full) copy -- jax.device_put alone cannot target
+    a sharding that spans non-addressable devices."""
     if mesh is None:
         return tree
     sh = replicated(mesh)
-    return jax.device_put(tree, sh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh,
+                                            lambda idx: x[idx])
+    return jax.tree.map(put, tree)

@@ -100,7 +100,7 @@ def probe_trainer_batch_size(trainer, length: int | None = None,
             opt_state = jax.tree.map(jnp.copy, state.opt_state)
             _p, _o, _s, out, _pred = store_step(
                 params, opt_state, state.step, store.store,
-                jnp.asarray(plan.idx_padded), trainer.rng, jnp.float32(1.0),
+                plan.idx_padded, trainer.rng, jnp.float32(1.0),
                 lb=plan.lb)
             jax.block_until_ready(out)
 

@@ -276,7 +276,7 @@ class Trainer:
         # Device-resident data path: the whole split lives on device and
         # batches are assembled by a jitted gather (host ships only index
         # vectors). Auto-enabled when the footprint fits; multi-process
-        # keeps the host collate path (per-process row blocks).
+        # runs replicate the store globally (needs the mesh).
         from protein_transformer_tpu.data import device_store as DS
         self._DS = DS
         self.train_store = None
@@ -286,7 +286,8 @@ class Trainer:
         all_splits = ([self.dm.train] if cfg.train_only else
                       [self.dm.train] + list(self.dm.eval_splits.values()))
         self.use_device_data = DS.auto_enabled(cfg, all_splits,
-                                               self.process_count)
+                                               self.process_count,
+                                               has_mesh=self.mesh is not None)
         if self.use_device_data:
             self.train_store = DS.DeviceStore(self.dm.train, self.mesh)
 
@@ -684,10 +685,12 @@ class Trainer:
                     self.rng, lr_scale)
             else:
                 store, plan = payload
+                # idx goes in as numpy: pjit replicates it onto the mesh
+                # (multi-process-safe; jnp.asarray would pin local dev 0)
                 params, opt_state, step_no, out, pred_out = \
                     train_store_step(
                         state.params, state.opt_state, state.step,
-                        store.store, jnp.asarray(plan.idx_padded),
+                        store.store, plan.idx_padded,
                         self.rng, lr_scale, lb=plan.lb)
             state = TrainState(params, opt_state, step_no)
             try:
@@ -773,8 +776,7 @@ class Trainer:
                     "eval_store", self._eval_store_step_fn())
                 store, plan = payload
                 out = eval_store_step(params, store.store,
-                                      jnp.asarray(plan.idx_padded),
-                                      lb=plan.lb)
+                                      plan.idx_padded, lb=plan.lb)
             try:
                 out.copy_to_host_async()
             except AttributeError:

@@ -71,14 +71,19 @@ def test_auto_enabled_gating():
     split = _split()
     cfg_auto = TrainConfig(name="t", out_dir="/tmp/t")
     assert auto_enabled(cfg_auto, [split], process_count=1)
-    assert not auto_enabled(cfg_auto, [split], process_count=2)
+    # multi-process participates (globally-replicated store) given a mesh;
+    # without one the non-local devices are unaddressable -> host path
+    assert auto_enabled(cfg_auto, [split], process_count=2, has_mesh=True)
+    assert not auto_enabled(cfg_auto, [split], process_count=2,
+                            has_mesh=False)
     import dataclasses
     cfg_off = dataclasses.replace(cfg_auto, device_data="false")
     assert not auto_enabled(cfg_off, [split], process_count=1)
-    # explicit true still yields to the host path under multi-process
     cfg_on = dataclasses.replace(cfg_auto, device_data="true")
     assert auto_enabled(cfg_on, [split], process_count=1)
-    assert not auto_enabled(cfg_on, [split], process_count=2)
+    assert auto_enabled(cfg_on, [split], process_count=2, has_mesh=True)
+    assert not auto_enabled(cfg_on, [split], process_count=2,
+                            has_mesh=False)
     cfg_tiny = dataclasses.replace(cfg_auto, device_data_max_mb=0)
     assert not auto_enabled(cfg_tiny, [split], process_count=1)
     assert store_nbytes(split) > 0

@@ -67,8 +67,13 @@ cfg = TrainConfig(model="enc-only", d_model=16, d_ff=32, n_heads=2,
 data = make_dataset(n_train=16, n_eval=2, min_len=8, max_len=16, seed=0)
 tr = Trainer(cfg, data=data)
 assert len(jax.devices()) == 8, jax.devices()
+# the device-resident data path must stay active under multi-process
+# (globally-replicated store + pjit-replicated index vectors), not fall
+# back to host collate
+assert tr.use_device_data and tr.train_store is not None, "device data off"
 tr.train()
-print("NPROC", tr.process_count, "PIDX", tr.process_index)
+print("NPROC", tr.process_count, "PIDX", tr.process_index,
+      "DEVDATA", tr.use_device_data)
 """
 
 
