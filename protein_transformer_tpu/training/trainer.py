@@ -411,6 +411,12 @@ class Trainer:
         from protein_transformer_tpu.data.device_store import _gather_impl
         from protein_transformer_tpu.protein.vocab import VOCAB
         fields = _gather_impl(store, idx, lb=lb, pad_id=VOCAB.pad_id)
+        # Measured (r4, flagship B=8 L=256): the in-jit gather costs ~0.1 ms
+        # over the host-batch step (7.41 vs 7.31 ms p50); an
+        # optimization_barrier around the gathered fields is neutral, so
+        # none is used. (An apparent "+5 ms fused-step regression" was a
+        # batch-size artifact: the residue-budget sampler builds B=16
+        # batches at L=256 while the raw bench uses B=8.)
         if self.mesh is not None:
             from protein_transformer_tpu.parallel.mesh import batch_sharding
             sh = batch_sharding(self.mesh)
@@ -652,8 +658,23 @@ class Trainer:
 
         def flush():
             nonlocal pending, t_last_flush
-            fetched = [p[4] if p[4] is not None else np.asarray(p[0])
-                       for p in pending]
+            # rows the watchdog has not already copied are fetched as ONE
+            # stacked device array: per-row np.asarray pays a full link RTT
+            # per row on a tunnel-attached host (measured 10.5 ms/step at
+            # window 32 -- the whole wall-vs-device residue), the stacked
+            # fetch pays one dispatch + one RTT for the window
+            missing = [p[0] for p in pending if p[4] is None]
+            if missing:
+                if prof:  # split drain-wait (device still executing) from
+                    t_d0 = time.perf_counter()  # the host fetch itself
+                    jax.block_until_ready(missing[-1])
+                    prof.add("flush:drain-wait", time.perf_counter() - t_d0)
+                rows = np.asarray(jnp.stack(missing))
+                it = iter(rows)
+                for p in pending:
+                    if p[4] is None:
+                        p[4] = next(it)
+            fetched = [p[4] for p in pending]
             # honest residues/sec under run-ahead dispatch: the window's
             # wall time (previous flush -> all K steps complete) is spread
             # evenly over its batches
@@ -747,7 +768,7 @@ class Trainer:
         chained = (itertools.chain([first], it) if first is not None
                    else iter(()))
         # host Batch objects need the prefetch+transfer wrapper; the device
-        # path already yields (meta, device-batch) pairs
+        # path already yields (LazyBatch, (store, plan)) pairs
         prefetched = (self._host_stream(chained)
                       if isinstance(first, Batch) else chained)
         pending: list = []
@@ -755,7 +776,9 @@ class Trainer:
 
         def flush():
             nonlocal pending, t_last_flush
-            fetched = [np.asarray(p[0]) for p in pending]
+            # one stacked fetch for the window (see train_epoch.flush)
+            fetched = (list(np.asarray(jnp.stack([p[0] for p in pending])))
+                       if pending else [])
             t_now = time.time()
             dt = (t_now - t_last_flush) / max(len(pending), 1)
             for i, (row, (_, n_res)) in enumerate(zip(fetched, pending)):
