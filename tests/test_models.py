@@ -197,3 +197,64 @@ def test_plateau_and_early_stopping():
     es = EarlyStopping(patience=2, threshold=0.001)
     stops = [es.update(i, m) for i, m in enumerate([1.0, 0.9, 0.9, 0.9, 0.9])]
     assert stops == [False, False, False, False, True]
+
+
+def test_bfloat16_trunk_matches_float32():
+    """--compute_dtype bfloat16 keeps the head fp32 and stays close to the
+    fp32 trunk: params are float32 (flax param_dtype default), the output is
+    float32, and the predicted sin/cos pairs agree to bf16 resolution."""
+    rng = np.random.default_rng(11)
+    ids = make_ids(rng, pad_from=20)
+    outs = {}
+    for dtype in ["float32", "bfloat16"]:
+        cfg = TrainConfig(model="conv-enc|11|1", d_model=32, d_ff=64,
+                          n_heads=4, n_layers=2, max_seq_len=L,
+                          dropout=0.0, compute_dtype=dtype).finalize()
+        model = make_model(cfg, ANGLE_MEANS)
+        params = model.init(jax.random.PRNGKey(3), ids)
+        # identical fp32 master weights under both trunks
+        leaf_dtypes = {p.dtype for p in jax.tree_util.tree_leaves(params)}
+        assert leaf_dtypes == {jnp.dtype(jnp.float32)}, (dtype, leaf_dtypes)
+        out = model.apply(params, ids)
+        assert out.dtype == jnp.float32, (dtype, out.dtype)
+        outs[dtype] = np.asarray(out)
+    # zero-init head makes the untrained outputs equal; perturb via init of a
+    # *linear-out* model instead for a non-degenerate comparison
+    np.testing.assert_allclose(outs["bfloat16"], outs["float32"], atol=1e-2)
+
+    outs = {}
+    for dtype in ["float32", "bfloat16"]:
+        model = EncoderOnlyTransformer(
+            n_layers=2, n_heads=4, d_model=32, d_ff=64, max_len=L,
+            vocab_size=len(VOCAB), angle_means=tuple(ANGLE_MEANS),
+            use_tanh_out=False, dtype=jnp.dtype(dtype))
+        params = model.init(jax.random.PRNGKey(4), ids)
+        # make the head non-trivial so trunk activations reach the output
+        head = params["params"]["AngleProjection_0"]["output_projection"]
+        head["kernel"] = jax.random.normal(
+            jax.random.PRNGKey(5), head["kernel"].shape, jnp.float32) * 0.2
+        outs[dtype] = np.asarray(model.apply(params, ids))
+    # bf16 has ~3 decimal digits; activations are O(1) post-LayerNorm
+    np.testing.assert_allclose(outs["bfloat16"], outs["float32"],
+                               atol=6e-2, rtol=0)
+    assert np.abs(outs["bfloat16"] - outs["float32"]).max() > 0, \
+        "bf16 trunk produced bit-identical output: dtype not plumbed?"
+
+
+def test_bfloat16_training_step_finite():
+    """One optimizer step under the bf16 trunk: loss finite, params move."""
+    from protein_transformer_tpu.data.synthetic import make_dataset
+    from protein_transformer_tpu.training.trainer import Trainer
+    import tempfile
+    data = make_dataset(n_train=4, n_eval=2, min_len=8, max_len=24, seed=3)
+    with tempfile.TemporaryDirectory() as td:
+        cfg = TrainConfig(model="enc-only", d_model=16, d_ff=32, n_heads=2,
+                          n_layers=1, batch_size=4, epochs=1, loss="combined",
+                          optimizer="adam", lr_scheduling="noam",
+                          bucket_sizes=(24,), max_seq_len=24, dropout=0.0,
+                          out_dir=td, name="bf16", train_only=True,
+                          compute_dtype="bfloat16")
+        tr = Trainer(cfg, data=data)
+        tr.train()
+        hist = tr.metrics["train"]["epoch-history-combined"]
+        assert len(hist) == 1 and np.isfinite(hist[0]), hist
