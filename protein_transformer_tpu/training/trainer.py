@@ -644,7 +644,7 @@ class Trainer:
         t_epoch0 = time.perf_counter()
 
         def check_ready():
-            for p in pending:
+            for j, p in enumerate(pending):
                 if p[4] is not None:
                     continue
                 out = p[0]
@@ -653,6 +653,17 @@ class Trainer:
                     break  # steps execute in dispatch order; later ones wait
                 p[4] = np.asarray(out)
                 if not np.isfinite(p[4][0]):  # METRIC_KEYS[0] == "loss"
+                    # Drain the finite rows preceding the NaN before aborting
+                    # so their CSV/wandb records aren't dropped -- the
+                    # reference logs every batch before its abort
+                    # (log.py:183-185). Rows 0..j-1 are already fetched
+                    # (this loop fills p[4] in dispatch order).
+                    t_now = time.time()
+                    dt = (t_now - t_last_flush) / max(j, 1)
+                    for i, (_, pred, b, s_i, row) in enumerate(pending[:j]):
+                        self._process_train_outputs(
+                            unpack_metrics(row), pred, b, s_i,
+                            t_last_flush + (i + 1) * dt, logger)
                     raise FloatingPointError(
                         "A nan loss has occurred. Exiting training.")
 
@@ -794,9 +805,12 @@ class Trainer:
             else:
                 # built lazily on the first tuple payload: dispatch is by
                 # payload type, so a device stream works regardless of which
-                # flag (use_device_data vs train_store) gated the caller
-                eval_store_step = self._jit_cache.setdefault(
-                    "eval_store", self._eval_store_step_fn())
+                # flag (use_device_data vs train_store) gated the caller.
+                # Guarded (not setdefault) so the closure + jit wrapper isn't
+                # rebuilt and discarded on every batch after the first.
+                if "eval_store" not in self._jit_cache:
+                    self._jit_cache["eval_store"] = self._eval_store_step_fn()
+                eval_store_step = self._jit_cache["eval_store"]
                 store, plan = payload
                 out = eval_store_step(params, store.store,
                                       plan.idx_padded, lb=plan.lb)
@@ -890,13 +904,18 @@ class Trainer:
                            end_of_epoch=True)
             W.log_final_epoch_summary(self.wandb_run, "train",
                                       self.metrics["train"])
-            if self.wandb_run is not None:
+            if cfg.use_wandb:
                 # epoch-cadence parameter + gradient histograms (wandb.watch
-                # analogue); leaves are fetched inside watch_params so
+                # analogue). The probe is a jitted collective over globally
+                # sharded params/batch, so EVERY process must dispatch it --
+                # gating on wandb_run (process 0 only) would deadlock a
+                # multi-process run at the first epoch end. Only the sink is
+                # process-0-only; leaves are fetched inside watch_params so
                 # multi-host tensor-parallel shards it cannot address are
-                # skipped rather than crashing a jax.device_get here
-                W.watch_params(self.wandb_run, state.params,
-                               grads=self._probe_gradients(state))
+                # skipped rather than crashing a jax.device_get here.
+                grads = self._probe_gradients(state)
+                if self.wandb_run is not None:
+                    W.watch_params(self.wandb_run, state.params, grads=grads)
 
             if not cfg.train_only:
                 for split in self.dm.eval_splits:
