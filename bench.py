@@ -207,10 +207,14 @@ def main():
         "vs_baseline": (round(vs_baseline / n_chips, 2)
                         if vs_baseline else None),
     }))
+    from protein_transformer_tpu.training import flops as F
     print(f"# step time p50: {dt*1000:.2f} ms, p95: {p95*1000:.2f} ms "
           f"({len(samples)} paired windows of {k}/{2*k} steps, "
           f"window sync overhead ~{sync_ms:.1f} ms); devices: {n_chips}; "
-          f"steps/sec: {1/dt:.2f}", file=sys.stderr)
+          f"steps/sec: {1/dt:.2f}; "
+          f"MFU {100 * F.mfu(cfg, b, l, dt, n_chips=n_chips):.1f}% "
+          f"({F.train_step_flops(cfg, b, l) / 1e9:.1f} GFLOP/step vs bf16 "
+          "peak)", file=sys.stderr)
 
 
 if __name__ == "__main__":

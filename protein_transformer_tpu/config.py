@@ -98,6 +98,9 @@ class TrainConfig:
     load_chkpt: Optional[str] = None
     out_dir: str = "runs"
     use_wandb: bool = False
+    # HPC/limited-I/O mode (reference -c/--cluster, train.py:518-520):
+    # disables the live per-batch status line; epoch prints only.
+    cluster: bool = False
 
     # TPU-native additions
     max_seq_len: int = MAX_SEQ_LEN

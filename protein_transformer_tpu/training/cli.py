@@ -101,6 +101,9 @@ def create_parser() -> argparse.ArgumentParser:
     s.add_argument("--load_chkpt", type=str, default=None)
     s.add_argument("--out_dir", type=str, default="runs")
     s.add_argument("--use_wandb", type=my_bool, default="False")
+    # reference train.py:518-520: HPC mode, limited I/O -- no live
+    # per-batch status line
+    s.add_argument("-c", "--cluster", type=my_bool, default="False")
 
     tpu = p.add_argument_group("TPU Args")
     tpu.add_argument("--compute_dtype", choices=["float32", "bfloat16"],

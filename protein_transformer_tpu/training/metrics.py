@@ -133,6 +133,84 @@ class CsvLogger:
         self._f.close()
 
 
+class BatchStatus:
+    """Live per-batch status line (the reference's tqdm bar,
+    log.py:18-58; --cluster toggle, train.py:518-520).
+
+    Renders an in-place carriage-return line with the running batch
+    losses, LR (noam only, as in the reference) and mean residues/sec,
+    throttled to a few updates per second so rendering never shows up in
+    the step loop. Auto-enabled on interactive stderr; disabled by
+    --cluster (limited-I/O HPC environments get plain epoch prints only)
+    and on non-process-0 ranks. Because the trainer pipelines its metric
+    fetches, the line trails the device by up to FLUSH_EVERY steps --
+    same information as the reference's bar, window cadence.
+    """
+
+    def __init__(self, loss: str, lr_scheduling: str,
+                 enabled: Optional[bool] = None, stream=None,
+                 min_interval: float = 0.25):
+        import sys as _sys
+        self.stream = stream if stream is not None else _sys.stderr
+        if enabled is None:
+            enabled = bool(getattr(self.stream, "isatty", lambda: False)())
+        self.enabled = enabled
+        self.loss = loss
+        self.lr_scheduling = lr_scheduling
+        self.min_interval = min_interval
+        self._last = 0.0
+        self._width = 0
+
+    def _emit(self, text: str) -> None:
+        pad = max(self._width - len(text), 0)
+        self.stream.write("\r" + text + " " * pad)
+        self.stream.flush()
+        self._width = len(text)
+
+    def _throttled(self, force: bool) -> bool:
+        now = time.time()
+        if not force and now - self._last < self.min_interval:
+            return True
+        self._last = now
+        return False
+
+    def update_train(self, metrics: dict, force: bool = False) -> None:
+        """print_train_batch_status (log.py:18-44) analogue."""
+        if not self.enabled or self._throttled(force):
+            return
+        m = metrics["train"]
+        lr = metrics["history-lr"][-1]
+        lr_str = f", LR = {lr:.7f}" if self.lr_scheduling == "noam" else ""
+        speed = (float(np.mean(m["speed-history"]))
+                 if m.get("speed-history") else 0.0)
+        self._emit(
+            f"  - (Train) drmsd={m.get('batch-drmsd-full', 0.0):.2f}, "
+            f"lndrmsd={m.get('batch-lndrmsd-full', 0.0):0.7f}, "
+            f"rmse={np.sqrt(max(m.get('batch-mse-full', 0.0), 0.0)):.4f}, "
+            f"c={m.get('batch-combined-full', 0.0):.2f}{lr_str}, "
+            f"res/s={speed:.0f}")
+
+    def update_eval(self, mode: str, metrics: dict,
+                    force: bool = False) -> None:
+        """print_eval_batch_status (log.py:47-58) analogue."""
+        if not self.enabled or self._throttled(force):
+            return
+        m = metrics[mode]
+        self._emit(
+            f"  - (Eval-{mode}) "
+            f"drmsd = {m.get('batch-drmsd-full', 0.0):.6f}, "
+            f"rmse = {np.sqrt(max(m.get('batch-mse-full', 0.0), 0.0)):.6f}, "
+            f"comb = {m.get('batch-combined-full', 0.0):.6f}")
+
+    def clear(self) -> None:
+        """Erase the live line so epoch-status prints start clean."""
+        if not self.enabled or self._width == 0:
+            return
+        self.stream.write("\r" + " " * self._width + "\r")
+        self.stream.flush()
+        self._width = 0
+
+
 def print_epoch_status(mode: str, metrics: dict, start: float):
     """End-of-epoch console line (print_end_of_epoch_status, log.py:62-88)."""
     m = metrics[mode]

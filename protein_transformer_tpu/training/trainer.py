@@ -287,7 +287,8 @@ class Trainer:
                       [self.dm.train] + list(self.dm.eval_splits.values()))
         self.use_device_data = DS.auto_enabled(cfg, all_splits,
                                                self.process_count,
-                                               has_mesh=self.mesh is not None)
+                                               has_mesh=self.mesh is not None,
+                                               n_data=n_data)
         if self.use_device_data:
             self.train_store = DS.DeviceStore(self.dm.train, self.mesh)
 
@@ -298,6 +299,12 @@ class Trainer:
         self.wandb_run = None
         self.structure_logger = StructureLogger(out_dir,
                                                 save_pngs=cfg.save_pngs)
+        # live per-batch status line (tqdm analogue; --cluster disables it,
+        # reference train.py:518-520). Auto-detects an interactive stderr.
+        self.batch_status = M.BatchStatus(
+            cfg.loss, cfg.lr_scheduling,
+            enabled=(False if (cfg.cluster or self.process_index != 0)
+                     else None))
         # persist config + angle means for predict/analysis tooling
         import json as _json
         with open(os.path.join(out_dir, "config.json"), "w") as f:
@@ -408,9 +415,11 @@ class Trainer:
         """Assemble a Batch from the device store INSIDE an enclosing jit
         (the fused dispatch), constrained to the same row shardings the
         standalone gather produces."""
-        from protein_transformer_tpu.data.device_store import _gather_impl
+        from protein_transformer_tpu.data.device_store import (
+            gather_batch_fields)
         from protein_transformer_tpu.protein.vocab import VOCAB
-        fields = _gather_impl(store, idx, lb=lb, pad_id=VOCAB.pad_id)
+        fields = gather_batch_fields(store, idx, lb=lb, pad_id=VOCAB.pad_id,
+                                     mesh=self.mesh)
         # Measured (r4, flagship B=8 L=256): the in-jit gather costs ~0.1 ms
         # over the host-batch step (7.41 vs 7.31 ms p50); an
         # optimization_barrier around the gathered fields is neutral, so
@@ -562,6 +571,7 @@ class Trainer:
         self.metrics["history-lr"].append(self._current_lr(step_i))
         self.metrics = M.update_batch(self.metrics, "train", out_host,
                                       batch.n_res, now=t_dispatch)
+        self.batch_status.update_train(self.metrics)
         if logger:
             logger.log(self.metrics, "train", self.start_time)
         if (self.wandb_run is not None
@@ -764,6 +774,7 @@ class Trainer:
             prof.add("flush/CSV", time.perf_counter() - t0)
             print(prof.report(time.perf_counter() - t_epoch0),
                   file=sys.stderr)
+        self.batch_status.clear()
         self.metrics = M.end_of_epoch(self.metrics, "train")
         return state
 
@@ -796,6 +807,7 @@ class Trainer:
                 self.metrics = M.update_batch(self.metrics, mode,
                                               unpack_metrics(row), n_res,
                                               now=t_last_flush + (i + 1) * dt)
+            self.batch_status.update_eval(mode, self.metrics)
             t_last_flush = t_now
             pending = []
 
@@ -823,6 +835,7 @@ class Trainer:
                 flush()
         if pending:
             flush()
+        self.batch_status.clear()
         self.metrics = M.end_of_epoch(self.metrics, mode)
         if logger:
             logger.log(self.metrics, mode, self.start_time,

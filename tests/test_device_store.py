@@ -145,3 +145,77 @@ def test_trainer_device_path_matches_host(tmp_path):
         losses[mode] = tr.metrics["train"]["epoch-mse-full"]
     assert np.isfinite(losses["true"])
     assert losses["true"] == pytest.approx(losses["false"], rel=1e-6)
+
+
+# ---------------- sharded store (per-device bytes ~ 1/N) ----------------
+
+
+def test_sharded_store_footprint_is_fraction_of_replicated():
+    from protein_transformer_tpu.parallel.mesh import make_mesh
+    split = _split(n=32, min_len=8, max_len=32)
+    mesh = make_mesh()
+    n = mesh.shape["data"]
+    assert n == 8
+    sharded = DeviceStore(split, mesh, sharded=True)
+    replicated = DeviceStore(split, mesh, sharded=False)
+    assert sharded.sharded and not replicated.sharded
+    s_bytes, r_bytes = sharded.device_nbytes(), replicated.device_nbytes()
+    # greedy binning pads each shard to the heaviest bin; with 32 proteins
+    # over 8 shards the padding is bounded by one protein length per shard
+    assert s_bytes < r_bytes / (n / 2), (s_bytes, r_bytes)
+
+
+def test_sharded_gather_matches_replicated_and_collate():
+    from protein_transformer_tpu.parallel.mesh import make_mesh
+    split = _split(n=20)
+    mesh = make_mesh()
+    bm = mesh.shape["data"]
+    sharded = DeviceStore(split, mesh, sharded=True)
+    replicated = DeviceStore(split, mesh, sharded=False)
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        k = int(rng.integers(1, 2 * bm))
+        idx = rng.integers(0, len(split), size=k)
+        plan = plan_batch(split, idx, BUCKETS, split.max_seq_len,
+                          batch_multiple=bm)
+        got = sharded.batch(plan)
+        ref = replicated.batch(plan)
+        want = collate(split, idx, BUCKETS, split.max_seq_len,
+                       batch_multiple=bm)
+        for f in ("seq", "ang", "ang_mask", "crd", "crd_mask",
+                  "protein_mask"):
+            g = np.asarray(getattr(got, f))
+            assert np.array_equal(g, np.asarray(getattr(ref, f))), (trial, f)
+            assert np.array_equal(g, getattr(want, f)), (trial, f)
+        # output layout matches shard_batch's row sharding
+        assert got.seq.sharding.spec == ref.seq.sharding.spec
+
+
+def test_partition_shards_balanced_and_deterministic():
+    from protein_transformer_tpu.data.device_store import _partition_shards
+    lens = np.array([100, 10, 90, 20, 80, 30, 70, 40], np.int64)
+    o1, l1, cap1 = _partition_shards(lens, 4)
+    o2, l2, cap2 = _partition_shards(lens, 4)
+    assert np.array_equal(o1, o2) and np.array_equal(l1, l2)
+    fills = np.bincount(o1, weights=lens, minlength=4)
+    assert cap1 == int(fills.max())
+    assert fills.max() <= 2 * fills.min()  # greedy keeps bins balanced
+    # local offsets tile each protein disjointly within its shard
+    for s in range(4):
+        mine = np.where(o1 == s)[0]
+        spans = sorted((int(l1[i]), int(l1[i] + lens[i])) for i in mine)
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 <= b0
+
+
+def test_auto_enabled_budget_is_per_device():
+    import dataclasses
+    split = _split(n=32)
+    # pick a budget between the full footprint and its 1/8 shard
+    total_mb = store_nbytes(split) / (1024 * 1024)
+    cfg = TrainConfig(name="t", out_dir="/tmp/t",
+                      device_data_max_mb=total_mb / 4)
+    # the whole dataset busts the budget on one device...
+    assert not auto_enabled(cfg, [split], n_data=1)
+    # ...but fits once sharded 8 ways
+    assert auto_enabled(cfg, [split], n_data=8)

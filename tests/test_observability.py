@@ -308,3 +308,80 @@ def test_trainer_gradient_histograms(tmp_path, monkeypatch):
     W.watch_params(run, state.params, grads=grads)
     (payload,) = run.logged
     assert any(k.startswith("gradients/") for k in payload)
+
+
+# ---------------- live per-batch status line (tqdm analogue) ----------------
+
+
+def _status_metrics():
+    m = M.init_metrics(["train", "valid-70"])
+    m = M.reset_for_epoch(m, "train")
+    m = M.reset_for_epoch(m, "valid-70")
+    losses = {"drmsd-full": 6.5, "lndrmsd-full": 0.021, "mse-full": 0.25,
+              "combined-full": 12.3}
+    m = M.update_batch(m, "train", losses, 512)
+    m = M.update_batch(m, "valid-70", losses, 512)
+    return m
+
+
+def test_batch_status_renders_train_line():
+    import io
+    buf = io.StringIO()
+    st = M.BatchStatus("combined", "noam", enabled=True, stream=buf,
+                       min_interval=0.0)
+    st.update_train(_status_metrics())
+    out = buf.getvalue()
+    assert out.startswith("\r")
+    assert "drmsd=6.50" in out and "rmse=0.5000" in out
+    assert "c=12.30" in out and "LR = " in out and "res/s=" in out
+    # plateau scheduling omits the LR segment (reference log.py:33)
+    buf2 = io.StringIO()
+    st2 = M.BatchStatus("combined", "plateau", enabled=True, stream=buf2,
+                        min_interval=0.0)
+    st2.update_train(_status_metrics())
+    assert "LR" not in buf2.getvalue()
+
+
+def test_batch_status_eval_throttle_and_clear():
+    import io
+    buf = io.StringIO()
+    st = M.BatchStatus("combined", "noam", enabled=True, stream=buf,
+                       min_interval=3600.0)
+    m = _status_metrics()
+    st.update_eval("valid-70", m, force=True)
+    first = buf.getvalue()
+    assert "Eval-valid-70" in first and "drmsd = 6.5" in first
+    st.update_eval("valid-70", m)  # throttled: nothing new
+    assert buf.getvalue() == first
+    st.clear()
+    cleared = buf.getvalue()[len(first):]
+    assert cleared.startswith("\r") and cleared.endswith("\r")
+    assert set(cleared[1:-1]) <= {" "}
+
+
+def test_batch_status_disabled_by_cluster_flag():
+    import io
+    buf = io.StringIO()
+    # enabled=None auto-detects: a StringIO is not a tty -> disabled
+    st = M.BatchStatus("mse", "noam", enabled=None, stream=buf)
+    st.update_train(_status_metrics(), force=True)
+    assert buf.getvalue() == ""
+    # the Trainer wires cfg.cluster -> enabled=False
+    from protein_transformer_tpu.config import TrainConfig
+    from protein_transformer_tpu.training.trainer import Trainer
+    from protein_transformer_tpu.data.synthetic import make_dataset
+    cfg = TrainConfig(model="enc-only", d_model=16, d_ff=32, n_heads=2,
+                      n_layers=1, loss="mse", max_seq_len=16,
+                      bucket_sizes=(16,), batch_size=2, train_only=True,
+                      cluster=True, out_dir="/tmp/ptt_status_test",
+                      name="st")
+    tr = Trainer(cfg, data=make_dataset(n_train=2, n_eval=1, min_len=8,
+                                        max_len=12, seed=0))
+    assert tr.batch_status.enabled is False
+
+
+def test_cli_accepts_cluster_flag():
+    from protein_transformer_tpu.training.cli import config_from_args
+    cfg = config_from_args(["--data", "x.pt", "-c", "True"])
+    assert cfg.cluster is True
+    assert config_from_args(["--data", "x.pt"]).cluster is False

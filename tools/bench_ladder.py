@@ -43,7 +43,9 @@ LADDER = {
 }
 
 
-def bench_config(idx: int, steps: int, dtype: str = "float32") -> dict:
+def bench_config(idx: int, steps: int, dtype: str = "float32",
+                 b_override: int | None = None,
+                 probe_max_batch: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -52,9 +54,10 @@ def bench_config(idx: int, steps: int, dtype: str = "float32") -> dict:
     from protein_transformer_tpu.data.synthetic import make_dataset
     from protein_transformer_tpu.data.dataset import collate
     from protein_transformer_tpu.parallel.mesh import shard_batch
+    from protein_transformer_tpu.training import flops as F
 
     spec = LADDER[idx]
-    b, l = spec["b"], spec["l"]
+    b, l = b_override or spec["b"], spec["l"]
     cfg = TrainConfig(
         model=spec["model"], d_model=spec["d_model"], d_ff=spec["d_ff"],
         n_heads=spec["n_heads"], n_layers=spec["n_layers"], loss=spec["loss"],
@@ -62,12 +65,22 @@ def bench_config(idx: int, steps: int, dtype: str = "float32") -> dict:
         lr_scheduling="noam", dropout=0.1, max_seq_len=l, bucket_sizes=(l,),
         batch_size=b, train_only=True, name=f"ladder{idx}",
         out_dir="/tmp/bench_runs", compute_dtype=dtype)
-    data = make_dataset(n_train=b, n_eval=2, min_len=l - 1, max_len=l, seed=0)
+    data = make_dataset(n_train=min(b, 64), n_eval=2, min_len=l - 1,
+                        max_len=l, seed=0)
     trainer = Trainer(cfg, data=data)
+    if probe_max_batch:
+        # the framework's own operating point: 0.8x the HBM OOM frontier
+        # (reference -adbs semantics, train.py:532-551), not the reference's
+        # CPU-era B. The probe runs the production executable.
+        from protein_transformer_tpu.training.batch_probe import (
+            probe_trainer_batch_size)
+        b = probe_trainer_batch_size(trainer, length=l, start=max(b, 1))
+        cfg.batch_size = b
     state = trainer.init_state()
     step_fn = trainer._train_step_fn()
-    batch = collate(trainer.dm.train, np.arange(b), cfg.bucket_sizes,
-                    trainer.dm.max_seq_len,
+    batch = collate(trainer.dm.train,
+                    np.resize(np.arange(len(trainer.dm.train)), b),
+                    cfg.bucket_sizes, trainer.dm.max_seq_len,
                     batch_multiple=trainer.dm.batch_multiple)
     assert batch.seq.shape == (b, l), batch.seq.shape
     batch_dev = shard_batch(batch, trainer.mesh)
@@ -101,7 +114,10 @@ def bench_config(idx: int, steps: int, dtype: str = "float32") -> dict:
     return {"config": idx, "loss": spec["loss"], "b": b, "l": l,
             "dtype": dtype, "step_ms": round(dt * 1e3, 2),
             "step_ms_p95": round(p95 * 1e3, 2),
-            "res_per_sec": round(b * l / dt, 1)}
+            "res_per_sec": round(b * l / dt, 1),
+            "tflops_per_step": round(F.train_step_flops(cfg, b, l) / 1e12, 4),
+            "mfu": round(F.mfu(cfg, b, l, dt,
+                               n_chips=jax.device_count()), 4)}
 
 
 def main():
@@ -110,9 +126,15 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the config's batch size")
+    ap.add_argument("--max-batch", action="store_true",
+                    help="probe the HBM frontier (-adbs) and bench at 0.8x")
     args = ap.parse_args()
     for idx in args.configs:
-        print(json.dumps(bench_config(idx, args.steps, args.dtype)),
+        print(json.dumps(bench_config(idx, args.steps, args.dtype,
+                                      b_override=args.batch,
+                                      probe_max_batch=args.max_batch)),
               flush=True)
 
 
