@@ -87,11 +87,19 @@ def extension_transform(length: jax.Array, theta: jax.Array,
     ct, st = jnp.cos(theta), jnp.sin(theta)
     cx, sx = jnp.cos(chi), jnp.sin(chi)
     zeros = jnp.zeros_like(ct)
-    # Columns: u = normalize(v) (new x axis), y' = z' x u, z' = (e_x x u)/|.|
+    # Columns: u = normalize(v) (new x axis), z' = (e_x x u)/|e_x x u|,
+    # y' = z' x u. |e_x x u| = |sin(theta)| -- NOT sin(theta) -- so the
+    # closed-formed division by sin(theta) must carry its sign or the y'/z'
+    # axes flip for theta < 0. Physical bond angles are always in (0, pi),
+    # but an UNTRAINED model predicts arbitrary thetas, and sequential NeRF
+    # (reference Structure.py:44-52, which normalizes explicitly) keeps its
+    # handedness there; without the sign this scan silently diverged from
+    # it for every structure an early-training model emits.
+    sg = jnp.where(st < 0, -1.0, 1.0).astype(ct.dtype)
     r = jnp.stack([
-        jnp.stack([-ct, -st, zeros], axis=-1),
-        jnp.stack([st * cx, -ct * cx, -sx], axis=-1),
-        jnp.stack([st * sx, -ct * sx, cx], axis=-1),
+        jnp.stack([-ct, -sg * st, zeros], axis=-1),
+        jnp.stack([st * cx, -sg * ct * cx, -sg * sx], axis=-1),
+        jnp.stack([st * sx, -sg * ct * sx, sg * cx], axis=-1),
     ], axis=-2)  # (..., 3, 3) rows stacked -> [row_i][col_j]
     t = jnp.stack([-length * ct, length * st * cx, length * st * sx], axis=-1)
     return r, t

@@ -203,3 +203,33 @@ def test_padded_positions_are_finite():
     ids[8:] = VOCAB.pad_id
     crd = np.asarray(geometry.build_coords(jnp.asarray(ang), jnp.asarray(ids)))
     assert np.isfinite(crd).all()
+
+
+def test_untrained_model_angles_match_f64_oracle():
+    """Full-range GARBAGE angles (what an untrained model emits: bond
+    angles anywhere in [-pi, pi], including sin(theta) < 0) vs the exact
+    sequential oracle. Regression for the extension_transform handedness
+    bug: the closed-form frame divides by |sin(theta)|, and dropping the
+    sign silently flipped the y'/z' axes for theta < 0 -- invisible on
+    physical angles, an ~18% ln-dRMSD error on an untrained model's
+    output (caught by test_optim_trajectory's dRMSD cases)."""
+    rng = np.random.default_rng(23)
+    ang = rng.uniform(-np.pi, np.pi, (200, 12)).astype(np.float32)
+    truth = _f64_oracle_backbone(ang)
+    ours = np.asarray(geometry.build_backbone(jnp.asarray(ang)))
+    err = np.abs(ours - truth).max()
+    assert err < 3e-3, f"fp32 scan error vs f64 oracle {err:.2e} A (garbage)"
+
+
+@needs_reference
+def test_untrained_model_coords_match_reference():
+    """Full 14-slot build on full-range angles vs the reference builder."""
+    rng = np.random.default_rng(29)
+    seq_str = "".join(rng.choice(list(ALL_AAS), size=48))
+    ids = np.array([VOCAB[c] for c in seq_str], np.int32)
+    ang = rng.uniform(-np.pi, np.pi, (48, 12)).astype(np.float32)
+    ref = reference_build(seq_str, ang)
+    ours = np.asarray(geometry.build_coords(jnp.asarray(ang),
+                                            jnp.asarray(ids)))
+    err = np.abs(ours - ref).max()
+    assert err < 1e-3, f"max coordinate error {err:.2e} A (garbage angles)"
