@@ -234,8 +234,14 @@ def load_native(path: str) -> dict:
         z = np.load(os.path.join(path, f"{split}.npz"), allow_pickle=False)
         offs = z["offsets"]
         seqs = [str(s) for s in z["seqs"]]
-        angs = [z["ang"][offs[i]:offs[i + 1]] for i in range(len(seqs))]
-        crds = [z["crd"][offs[i] * NUM_PREDICTED_COORDS:
+        # bind the flat arrays ONCE: every NpzFile subscript re-reads and
+        # re-decompresses the whole member from the zip, so indexing
+        # z["ang"] inside the per-protein loop was O(n^2) in dataset size
+        # (measured 69 s for a 14 MB / 450-chain shard; hours at CASP12
+        # scale). One decompression + ragged views is O(n).
+        ang_flat, crd_flat = z["ang"], z["crd"]
+        angs = [ang_flat[offs[i]:offs[i + 1]] for i in range(len(seqs))]
+        crds = [crd_flat[offs[i] * NUM_PREDICTED_COORDS:
                          offs[i + 1] * NUM_PREDICTED_COORDS]
                 for i in range(len(seqs))]
         data[split] = {"seq": seqs, "ang": angs, "crd": crds,

@@ -484,10 +484,12 @@ class Trainer:
         cfg, model = self.cfg, self.model
 
         @jax.jit
-        def fn(params, batch: Batch):
+        def fn(params, batch: Batch, rng):
             def loss_fn(p):
-                loss, _ = compute_losses(model, p, batch, cfg,
-                                         deterministic=True)
+                loss, _ = compute_losses(
+                    model, p, batch, cfg, deterministic=False,
+                    rngs={"dropout": jax.random.fold_in(rng, 0),
+                          "sampling": jax.random.fold_in(rng, 1)})
                 return loss
 
             return jax.grad(loss_fn)(params)
@@ -495,18 +497,24 @@ class Trainer:
         return fn
 
     def _probe_gradients(self, state: TrainState):
-        """Gradient pytree on one deterministic probe batch. The epoch-
-        cadence analogue of the reference's wandb.watch(model) gradient
-        histograms (train.py:616-667): torch hooks autograd per backward,
-        here one extra fwd+bwd per epoch samples the same distributions
-        without touching the donated training step."""
+        """Gradient pytree on a per-epoch random train batch with dropout
+        ON -- the epoch-cadence analogue of the reference's
+        wandb.watch(model) gradient histograms (train.py:616-667): torch
+        hooks autograd per backward (dropout-on training gradients over the
+        epoch's data); here one extra fwd+bwd per epoch samples the same
+        distribution. Resampling per epoch (seeded by the step count, so
+        every process picks the same rows) keeps the histogram tracking
+        gradient drift instead of freezing on one fixed batch."""
         from protein_transformer_tpu.data.dataset import collate
         fn = self._jit_cache.setdefault("grad_probe", self._grad_probe_fn())
         n = min(self.cfg.batch_size, len(self.dm.train))
-        batch = collate(self.dm.train, np.arange(n), self.cfg.bucket_sizes,
+        rng_np = np.random.default_rng(self.cfg.seed + int(state.step))
+        idx = rng_np.choice(len(self.dm.train), size=n, replace=False)
+        batch = collate(self.dm.train, idx, self.cfg.bucket_sizes,
                         self.dm.max_seq_len,
                         batch_multiple=self.dm.batch_multiple)
-        return fn(state.params, shard_batch(batch, self.mesh))
+        rng = jax.random.fold_in(self.rng, int(state.step))
+        return fn(state.params, shard_batch(batch, self.mesh), rng)
 
     # ---------------- structure logging ----------------
 

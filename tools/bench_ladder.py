@@ -71,11 +71,23 @@ def bench_config(idx: int, steps: int, dtype: str = "float32",
     if probe_max_batch:
         # the framework's own operating point: 0.8x the HBM OOM frontier
         # (reference -adbs semantics, train.py:532-551), not the reference's
-        # CPU-era B. The probe runs the production executable.
+        # CPU-era B. The probe runs the production executable; afterwards
+        # the probe's compiled executables and buffers are dropped so the
+        # measurement itself starts from a clean HBM (the -adbs CLI path
+        # rebuilds the Trainer the same way, training/cli.py).
+        import gc
+        from protein_transformer_tpu.data.dataset import bucket_batch_size
         from protein_transformer_tpu.training.batch_probe import (
             probe_trainer_batch_size)
         b = probe_trainer_batch_size(trainer, length=l, start=max(b, 1))
+        # land on the collate shape lattice so padded == real rows
+        while bucket_batch_size(b, trainer.dm.batch_multiple) != b:
+            b -= 1
         cfg.batch_size = b
+        del trainer
+        gc.collect()
+        jax.clear_caches()
+        trainer = Trainer(cfg, data=data)
     state = trainer.init_state()
     step_fn = trainer._train_step_fn()
     batch = collate(trainer.dm.train,

@@ -102,7 +102,11 @@ def gen_chain(rng, length, rotamers):
     return seq, ids, ang
 
 
-def build_split(rng, n, min_len, max_len, rotamers, prefix):
+def build_split(rng, n, min_len, max_len, rotamers, prefix, chunk=512):
+    """Chains are generated per-protein; coordinates are built by the
+    geometry engine in CHUNKS of length-sorted proteins (one big padded
+    batch at CASP12 scale would be a 20k x 250 jit on the host CPU --
+    chunking by similar length keeps padding waste and peak memory flat)."""
     lengths = rng.integers(min_len, max_len + 1, size=n)
     seqs, ids_list, angs = [], [], []
     for length in lengths:
@@ -110,21 +114,29 @@ def build_split(rng, n, min_len, max_len, rotamers, prefix):
         seqs.append(seq)
         ids_list.append(ids)
         angs.append(ang)
-    lmax = int(max(lengths))
-    ids_pad = np.full((n, lmax), VOCAB.pad_id, np.int32)
-    ang_pad = np.zeros((n, lmax, NUM_PREDICTED_ANGLES), np.float32)
-    for i, (ids, ang) in enumerate(zip(ids_list, angs)):
-        ids_pad[i, :len(ids)] = ids
-        ang_pad[i, :len(ids)] = ang
-    crd_all = np.asarray(jax.jit(build_coords_batch)(
-        jnp.asarray(ang_pad), jnp.asarray(ids_pad)))
+    build = jax.jit(build_coords_batch, static_argnums=())
+    crd_by_index: dict[int, np.ndarray] = {}
+    order = np.argsort(lengths, kind="stable")
+    for c0 in range(0, n, chunk):
+        sel = order[c0:c0 + chunk]
+        # round the padded length up to a 32-lattice so the builder compiles
+        # a handful of shapes across chunks, not one per chunk
+        lmax = min(int(np.ceil(lengths[sel].max() / 32) * 32), max_len)
+        ids_pad = np.full((len(sel), lmax), VOCAB.pad_id, np.int32)
+        ang_pad = np.zeros((len(sel), lmax, NUM_PREDICTED_ANGLES), np.float32)
+        for r, i in enumerate(sel):
+            ids_pad[r, :len(ids_list[i])] = ids_list[i]
+            ang_pad[r, :len(ids_list[i])] = angs[i]
+        crd = np.asarray(build(jnp.asarray(ang_pad), jnp.asarray(ids_pad)))
+        for r, i in enumerate(sel):
+            crd_by_index[int(i)] = crd[r, :int(lengths[i])]
     out = {"seq": [], "ang": [], "crd": [], "ids": []}
     for i, length in enumerate(lengths):
         out["seq"].append(seqs[i])
         out["ang"].append(
             measure.angles_to_sincos(angs[i]).astype(np.float32))
-        out["crd"].append(crd_all[i, :length]
-                          .reshape(length * NUM_PREDICTED_COORDS, 3)
+        out["crd"].append(crd_by_index[i]
+                          .reshape(int(length) * NUM_PREDICTED_COORDS, 3)
                           .astype(np.float32))
         out["ids"].append(f"{prefix}{i:04d}_1_A")
     return out
