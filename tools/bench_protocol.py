@@ -28,15 +28,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.expanduser("~/.cache/ptt_jax_cache")
 
 
-def run_once(mode: str, steps: int) -> dict:
+def run_once(mode: str, steps: int, timeout: float = 600.0,
+             retries: int = 1) -> dict:
     env = dict(os.environ, BENCH_STEPS=str(steps))
     if mode == "trainer":
         env["BENCH_MODE"] = "trainer"
-    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       capture_output=True, text=True, env=env, cwd=REPO,
-                       timeout=3600)
-    if p.returncode != 0:
-        raise RuntimeError(f"bench.py failed:\n{p.stderr[-2000:]}")
+    # Per-run timeout + one retry: a warm run takes ~2 min; the tunnel
+    # transport occasionally wedges a single process indefinitely (observed:
+    # a run stuck >10 min at ~0 CPU while a fresh process ran fine), and one
+    # stuck run must not starve the whole protocol.
+    for attempt in range(retries + 1):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, env=env, cwd=REPO,
+                timeout=timeout)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"event": "run_timeout", "attempt": attempt,
+                              "timeout_s": timeout}), flush=True)
+            continue
+        if p.returncode == 0:
+            break
+        print(json.dumps({"event": "run_failed", "attempt": attempt,
+                          "stderr_tail": p.stderr[-500:]}), flush=True)
+    else:
+        raise RuntimeError(f"bench.py failed {retries + 1} times")
     row = json.loads([ln for ln in p.stdout.splitlines()
                       if ln.startswith("{")][-1])
     m = re.search(r"p50: ([\d.]+) ms", p.stderr)
@@ -53,12 +69,17 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--mode", default="raw", choices=["raw", "trainer"])
+    ap.add_argument("--per_run_timeout", type=float, default=None,
+                    help="seconds per fresh-process run (default 600 raw / "
+                    "1200 trainer)")
     args = ap.parse_args()
+    timeout = args.per_run_timeout or (1200 if args.mode == "trainer"
+                                       else 600)
 
     cold = not (os.path.isdir(CACHE) and os.listdir(CACHE))
     rows = []
     for i in range(args.runs):
-        row = run_once(args.mode, args.steps)
+        row = run_once(args.mode, args.steps, timeout=timeout)
         row["run"] = i
         row["cold"] = cold and i == 0
         print(json.dumps(row), flush=True)
