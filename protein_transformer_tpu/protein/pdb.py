@@ -26,8 +26,9 @@ def atom_names_for_seq(seq: str) -> list[list[str]]:
     return [ff.ATOM_NAMES_14[VOCAB[c]] for c in seq]
 
 
-def _atom_line_parts(res_char: str) -> list[tuple[int, str, str]]:
-    """Per-AA precomputed (slot, prefix, suffix) for each named atom slot.
+def _atom_line_parts(res_char: str,
+                     chain: str = " ") -> list[tuple[int, str, str]]:
+    """Per-(AA, chain) precomputed (slot, prefix, suffix) per atom slot.
 
     An ATOM record is `"ATOM  " nbr:5d prefix resnum:4d "    " x y z suffix`;
     everything except the atom number, residue number, and coordinates is a
@@ -40,8 +41,8 @@ def _atom_line_parts(res_char: str) -> list[tuple[int, str, str]]:
     for slot, name in enumerate(ff.ATOM_NAMES_14[VOCAB[res_char]]):
         if not name:
             continue
-        # widths: name^4, altloc(1)=' ', res3(3), ' ', chain(1)=' '
-        prefix = f"{name:^4s} {res3:3s}  "
+        # widths: name^4, altloc(1)=' ', res3(3), ' ', chain(1)
+        prefix = f"{name:^4s} {res3:3s} {chain[:1] or ' '}"
         # occupancy 1.00, b-factor 0.00, 10 spaces, element>2, charge(2)='  '
         suffix = f"  1.00  0.00          {name[0]:>2s}  "
         parts.append((slot, prefix, suffix))
@@ -52,7 +53,7 @@ _LINE_PARTS_CACHE: dict = {}
 
 
 class PdbWriter:
-    def __init__(self, coords: np.ndarray, seq: str):
+    def __init__(self, coords: np.ndarray, seq: str, chain: str = " "):
         coords = np.asarray(coords, np.float64)
         if coords.ndim == 3:
             coords = coords.reshape(-1, 3)
@@ -61,6 +62,7 @@ class PdbWriter:
         assert len(seq) == n_res, (len(seq), n_res)
         self.coords = coords.reshape(n_res, NUM_PREDICTED_COORDS, 3)
         self.seq = seq
+        self.chain = chain
 
     def lines(self, title: str = "pred") -> list[str]:
         out = [f"REMARK  {title}"]
@@ -71,10 +73,11 @@ class PdbWriter:
         crd = self.coords
         skip = np.isnan(crd).any(-1) | (crd == 0).all(-1)     # (L, 14)
         for res_i, res_char in enumerate(self.seq):
-            parts = _LINE_PARTS_CACHE.get(res_char)
+            key = (res_char, self.chain)
+            parts = _LINE_PARTS_CACHE.get(key)
             if parts is None:
-                parts = _LINE_PARTS_CACHE[res_char] = \
-                    _atom_line_parts(res_char)
+                parts = _LINE_PARTS_CACHE[key] = \
+                    _atom_line_parts(res_char, self.chain)
             resnum = f"{res_i + 1:4d}    "
             row = crd[res_i]
             row_skip = skip[res_i]

@@ -45,7 +45,9 @@ LADDER = {
 
 def bench_config(idx: int, steps: int, dtype: str = "float32",
                  b_override: int | None = None,
-                 probe_max_batch: bool = False) -> dict:
+                 probe_max_batch: bool = False,
+                 dropout: float = 0.1, optimizer: str = "adam",
+                 clip: float = 1.0) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -61,8 +63,9 @@ def bench_config(idx: int, steps: int, dtype: str = "float32",
     cfg = TrainConfig(
         model=spec["model"], d_model=spec["d_model"], d_ff=spec["d_ff"],
         n_heads=spec["n_heads"], n_layers=spec["n_layers"], loss=spec["loss"],
-        backbone_loss=spec["backbone_loss"], optimizer="adam",
-        lr_scheduling="noam", dropout=0.1, max_seq_len=l, bucket_sizes=(l,),
+        backbone_loss=spec["backbone_loss"], optimizer=optimizer, clip=clip,
+        lr_scheduling="noam", dropout=dropout, max_seq_len=l,
+        bucket_sizes=(l,),
         batch_size=b, train_only=True, name=f"ladder{idx}",
         out_dir="/tmp/bench_runs", compute_dtype=dtype)
     data = make_dataset(n_train=min(b, 64), n_eval=2, min_len=l - 1,
@@ -124,7 +127,8 @@ def bench_config(idx: int, steps: int, dtype: str = "float32",
     dt = float(np.median(samples))
     p95 = float(np.percentile(samples, 95))
     return {"config": idx, "loss": spec["loss"], "b": b, "l": l,
-            "dtype": dtype, "step_ms": round(dt * 1e3, 2),
+            "dtype": dtype, "dropout": dropout, "optimizer": optimizer,
+            "clip": clip, "step_ms": round(dt * 1e3, 2),
             "step_ms_p95": round(p95 * 1e3, 2),
             "res_per_sec": round(b * l / dt, 1),
             "tflops_per_step": round(F.train_step_flops(cfg, b, l) / 1e12, 4),
@@ -142,11 +146,20 @@ def main():
                     help="override the config's batch size")
     ap.add_argument("--max-batch", action="store_true",
                     help="probe the HBM frontier (-adbs) and bench at 0.8x")
+    ap.add_argument("--dropout", type=float, default=0.1,
+                    help="ablation override (step-time decomposition)")
+    ap.add_argument("--optimizer", default="adam",
+                    choices=["adam", "sgd"], help="ablation override")
+    ap.add_argument("--clip", type=float, default=1.0,
+                    help="ablation override; 0 disables global-norm clip")
     args = ap.parse_args()
     for idx in args.configs:
         print(json.dumps(bench_config(idx, args.steps, args.dtype,
                                       b_override=args.batch,
-                                      probe_max_batch=args.max_batch)),
+                                      probe_max_batch=args.max_batch,
+                                      dropout=args.dropout,
+                                      optimizer=args.optimizer,
+                                      clip=args.clip)),
               flush=True)
 
 
