@@ -109,6 +109,12 @@ class TrainConfig:
     mesh_axes: Sequence[str] = ("data",)
     compute_dtype: str = "float32"           # float32 | bfloat16
     drmsd_impl: str = "auto"                 # auto | xla | pallas
+    # Encoder self-attention implementation (ops/attention.py): 'flash'
+    # routes probs-dropout-free attention (eval/predict, dropout=0
+    # training) through the Pallas TPU flash kernel; dropout>0 training
+    # always keeps 'xla' (reference dropout-on-probs semantics).
+    # auto = flash on TPU, xla elsewhere.
+    attention_impl: str = "auto"             # auto | xla | flash
     # PRNG implementation for dropout/sampling bits. threefry's per-call
     # key-derivation chains + bit generation cost ~3 ms/step at the flagship
     # config (~2300 scalar HLO ops for 19 dropout sites); the TPU hardware

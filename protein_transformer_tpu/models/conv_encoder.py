@@ -73,6 +73,7 @@ class ConvEncoderOnlyTransformer(nn.Module):
     pad_id: int = 20
     prenorm: bool = True
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, ids, dec_input=None, deterministic: bool = True):
@@ -107,7 +108,8 @@ class ConvEncoderOnlyTransformer(nn.Module):
 
         for _ in range(self.n_layers):
             x = EncoderLayer(d_attn, self.d_ff, self.n_heads, self.dropout,
-                             self.prenorm, self.dtype)(x, mask, deterministic)
+                             self.prenorm, self.dtype,
+                             self.attn_impl)(x, mask, deterministic)
         return AngleProjection(tuple(self.angle_means), self.use_tanh_out)(x)
 
     def predict(self, ids):

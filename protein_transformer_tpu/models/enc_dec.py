@@ -54,11 +54,15 @@ class Transformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fraction_complete_tf: float = 1.0
     fraction_subseq_tf: float = 1.0
+    # decoder attention is causal/cross (flash-ineligible); the flag only
+    # affects the encoder's key-padding self-attention
+    attn_impl: str = "xla"
 
     def setup(self):
         self.encoder = Encoder(self.vocab_size, self.d_model, self.d_ff,
                                self.n_heads, self.n_enc_layers, self.max_len,
-                               self.dropout, self.prenorm, self.dtype)
+                               self.dropout, self.prenorm, self.dtype,
+                               self.attn_impl)
         self.decoder = Decoder(NUM_PREDICTED_ANGLES * 2, self.d_model,
                                self.d_ff, self.n_heads, self.n_dec_layers,
                                self.max_len, self.dropout, self.prenorm,

@@ -66,6 +66,7 @@ class EncoderOnlyTransformer(nn.Module):
     pad_id: int = 20
     prenorm: bool = True
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, ids, dec_input=None, deterministic: bool = True):
@@ -75,7 +76,8 @@ class EncoderOnlyTransformer(nn.Module):
         mask = (ids != self.pad_id)[:, None, None, :]
         x = Encoder(self.vocab_size, self.d_model, self.d_ff, self.n_heads,
                     self.n_layers, self.max_len, self.dropout,
-                    self.prenorm, self.dtype)(ids, mask, deterministic)
+                    self.prenorm, self.dtype,
+                    self.attn_impl)(ids, mask, deterministic)
         return AngleProjection(tuple(self.angle_means), self.use_tanh_out)(x)
 
     def predict(self, ids):

@@ -27,6 +27,15 @@ def parse_conv_kernel_info_from_model_name(mname: str):
             [float(r) for r in dim_reducs.split(",")])
 
 
+def resolve_attention_impl(impl: str) -> str:
+    """'auto' -> the Pallas flash kernel on TPU, XLA elsewhere (the
+    kernel is TPU-only; see ops/attention.py for the dispatch rules)."""
+    if impl == "auto":
+        import jax
+        return "flash" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
 def make_model(cfg, angle_means) -> nn.Module:
     """Build the model requested by cfg (a TrainConfig or equivalent)."""
     name = cfg.model
@@ -43,6 +52,8 @@ def make_model(cfg, angle_means) -> nn.Module:
         pad_id=cfg.pad_id,
         prenorm=not cfg.postnorm,
         dtype=jnp.dtype(getattr(cfg, "compute_dtype", "float32")),
+        attn_impl=resolve_attention_impl(
+            getattr(cfg, "attention_impl", "auto")),
     )
     if name.startswith("enc-only"):
         return EncoderOnlyTransformer(use_tanh_out=use_tanh, **common)

@@ -72,11 +72,19 @@ class MultiHeadedAttention(nn.Module):
     """Multi-head attention (Attention.py:24-69).
 
     mask: broadcastable to (B, 1, Lq, Lk); masked positions get -inf scores.
+
+    impl: 'xla' materializes the (B, H, Lq, Lk) probs (reference
+    semantics, required when dropout hits the probs); 'flash' routes
+    key-padding-masked self-attention with no probs dropout (any
+    deterministic call, or dropout == 0) through the Pallas TPU flash
+    kernel (ops/attention.py) and silently falls back to 'xla' anywhere
+    else -- so a single setting is safe for a whole model.
     """
     dim: int
     n_heads: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True):
@@ -92,6 +100,20 @@ class MultiHeadedAttention(nn.Module):
             return x.reshape(b, l, self.n_heads, dk).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
+        if (self.impl == "flash"
+                and (deterministic or self.dropout == 0.0)
+                and mask is not None and getattr(mask, "ndim", 0) == 4
+                and mask.shape[1] == 1 and mask.shape[2] == 1
+                and q_in is k_in):
+            from protein_transformer_tpu.ops.attention import (
+                flash_available, flash_self_attention)
+            if flash_available():
+                out = flash_self_attention(
+                    q, k, v, mask[:, 0, 0, :],
+                    sm_scale=float(1.0 / np.sqrt(dk)))
+                b, h, l, _ = out.shape
+                out = out.transpose(0, 2, 1, 3).reshape(b, l, self.dim)
+                return dense("wo")(out)
         # scores/softmax in float32 for numerical stability
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
@@ -152,11 +174,12 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     prenorm: bool = True
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
         attn = MultiHeadedAttention(self.dim, self.n_heads, self.dropout,
-                                    self.dtype)
+                                    self.dtype, impl=self.attn_impl)
         ff = PositionwiseFeedForward(self.dim, self.dff, self.dropout,
                                      self.dtype)
         sub = lambda: SublayerConnection(self.dim, self.dropout,
@@ -178,6 +201,7 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     prenorm: bool = True
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, ids, mask, deterministic=True):
@@ -190,7 +214,8 @@ class Encoder(nn.Module):
                                      deterministic=deterministic)
         for _ in range(self.n_layers):
             x = EncoderLayer(self.dim, self.dff, self.n_heads, self.dropout,
-                             self.prenorm, self.dtype)(x, mask, deterministic)
+                             self.prenorm, self.dtype,
+                             self.attn_impl)(x, mask, deterministic)
         return x
 
 

@@ -1,0 +1,75 @@
+"""Flash self-attention for the encoder stack (TPU Pallas kernel).
+
+The reference materializes the full (B, H, L, L) attention-probability
+tensor (models/transformer/Attention.py:24-69), and so does the default
+XLA path in models/transformer.py -- at L=500 those probs plus their
+dropout masks and transposes account for ~0.5-1 ms/step of pure HBM
+traffic (STATUS.md, config-5 roofline), and at large batch they are the
+dominant HBM term. For contexts where no dropout is applied to the
+probabilities (every deterministic/eval/predict call, and training runs
+with --dropout 0) the jax-shipped Pallas TPU flash-attention kernel
+computes the identical masked softmax online in VMEM without ever
+writing the probs to HBM.
+
+Scope: key-padding-masked SELF-attention -- the only attention in the
+enc-only and conv-enc families (the enc-dec decoder's causal/cross
+attention keeps the XLA path). Training steps with dropout > 0 always
+keep the XLA path, so the per-step dropout mask stream -- and therefore
+optimizer-trajectory parity vs the reference -- is unaffected by this
+feature.
+
+Numerics: both paths run the MXU at the backend's default matmul
+precision with float32 accumulation, and both compute the softmax in
+float32. Pad-row semantics differ by construction: the XLA path lets
+pad queries attend real keys, the flash path gives pad positions their
+own segment (they attend only each other). Pad rows are masked as KEYS
+in every layer and masked out of every loss/metric downstream, so they
+never influence a real output; equality tests compare valid rows only.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas.ops.tpu.flash_attention import (
+    BlockSizes, SegmentIds, flash_attention)
+
+# Pallas TPU flash attention requires block sizes (multiples of the
+# 128-wide lane dimension) to divide the sequence length; pad up to the
+# next multiple and slice the result back.
+_BLOCK = 128
+
+
+def flash_available() -> bool:
+    """The Pallas kernel targets TPU only; CPU/GPU callers fall back to
+    the XLA path (checked at trace time -- the backend is static)."""
+    return jax.default_backend() == "tpu"
+
+
+def _block_sizes(lp: int) -> BlockSizes:
+    b = min(_BLOCK, lp)
+    return BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
+
+
+def flash_self_attention(q, k, v, valid, *, sm_scale: float):
+    """Masked-softmax self-attention without materializing the probs.
+
+    q, k, v: (B, H, L, D) activations (float32 or bfloat16).
+    valid:   (B, L) bool -- True at real (non-pad) positions; the same
+             key-padding mask the XLA path applies as scores -> -inf.
+    Returns (B, H, L, D) in the input dtype. Differentiable (the jax
+    kernel carries its own fused backward pass).
+    """
+    b, h, l, d = q.shape
+    lp = -(-l // _BLOCK) * _BLOCK
+    seg = jnp.where(valid, 0, 1).astype(jnp.int32)
+    if lp != l:
+        pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        # padded tail joins the pad segment: invisible to real queries
+        seg = jnp.pad(seg, ((0, 0), (0, lp - l)), constant_values=1)
+    out = flash_attention(q, k, v, segment_ids=SegmentIds(q=seg, kv=seg),
+                          sm_scale=sm_scale, block_sizes=_block_sizes(lp))
+    return out[:, :, :l, :]

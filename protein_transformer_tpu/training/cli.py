@@ -114,6 +114,12 @@ def create_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--mesh_axes", type=str, nargs="+", default=["data"])
     tpu.add_argument("--drmsd_impl", choices=["auto", "xla", "pallas"],
                      default="auto")
+    tpu.add_argument("--attention_impl", choices=["auto", "xla", "flash"],
+                     default="auto",
+                     help="encoder self-attention: 'flash' uses the Pallas "
+                          "TPU kernel for probs-dropout-free contexts "
+                          "(eval/predict, dropout=0 training); dropout>0 "
+                          "training always keeps 'xla' semantics")
     tpu.add_argument("--profile_dir", type=str, default=None)
     tpu.add_argument("--device_data", choices=["auto", "true", "false"],
                      default="auto")
