@@ -72,24 +72,28 @@ def bench_config(idx: int, steps: int, dtype: str = "float32",
                         max_len=l, seed=0)
     trainer = Trainer(cfg, data=data)
     if probe_max_batch:
-        # the framework's own operating point: 0.8x the HBM OOM frontier
+        # The framework's own operating point: 0.8x the HBM OOM frontier
         # (reference -adbs semantics, train.py:532-551), not the reference's
-        # CPU-era B. The probe runs the production executable; afterwards
-        # the probe's compiled executables and buffers are dropped so the
-        # measurement itself starts from a clean HBM (the -adbs CLI path
-        # rebuilds the Trainer the same way, training/cli.py).
-        import gc
+        # CPU-era B. The probe runs in a SUBPROCESS (the reference's own
+        # child-process design): measuring in the process that just OOMed
+        # repeatedly produced collapsed paired-window timings (r5 campaign:
+        # 1.33 "ms"/step for a 200 ms step), so the bench process itself
+        # must never have hit RESOURCE_EXHAUSTED.
+        import subprocess
         from protein_transformer_tpu.data.dataset import bucket_batch_size
-        from protein_transformer_tpu.training.batch_probe import (
-            probe_trainer_batch_size)
-        b = probe_trainer_batch_size(trainer, length=l, start=max(b, 1))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--configs",
+             str(idx), "--dtype", dtype, "--probe-only"],
+            capture_output=True, text=True)
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("MAXB=")]
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(f"probe subprocess failed: {p.stderr[-500:]}")
+        b = max(1, int(0.8 * int(lines[-1].split("=")[1])))
         # land on the collate shape lattice so padded == real rows
         while bucket_batch_size(b, trainer.dm.batch_multiple) != b:
             b -= 1
         cfg.batch_size = b
         del trainer
-        gc.collect()
-        jax.clear_caches()
         trainer = Trainer(cfg, data=data)
     state = trainer.init_state()
     step_fn = trainer._train_step_fn()
@@ -121,9 +125,13 @@ def bench_config(idx: int, steps: int, dtype: str = "float32",
 
     k = max(5, steps // 10)
     samples = []
+    debug = bool(os.environ.get("PTT_BENCH_DEBUG"))
     for _ in range(8):
         t1, t2 = window(k), window(2 * k)
         samples.append((t2 - t1) / k)
+        if debug:
+            print(f"[debug] k={k} t1={t1 * 1e3:.1f}ms t2={t2 * 1e3:.1f}ms "
+                  f"-> {samples[-1] * 1e3:.2f} ms/step", file=sys.stderr)
     dt = float(np.median(samples))
     p95 = float(np.percentile(samples, 95))
     return {"config": idx, "loss": spec["loss"], "b": b, "l": l,
@@ -136,6 +144,34 @@ def bench_config(idx: int, steps: int, dtype: str = "float32",
                                n_chips=jax.device_count()), 4)}
 
 
+def probe_only(idx: int, dtype: str) -> None:
+    """OOM-probe the config's HBM frontier and print MAXB=<raw max>.
+
+    Runs as a subprocess of --max-batch so the measuring process never
+    experiences RESOURCE_EXHAUSTED itself."""
+    from protein_transformer_tpu.config import TrainConfig
+    from protein_transformer_tpu.training.trainer import Trainer
+    from protein_transformer_tpu.data.synthetic import make_dataset
+    from protein_transformer_tpu.training.batch_probe import (
+        probe_trainer_batch_size)
+
+    spec = LADDER[idx]
+    b, l = spec["b"], spec["l"]
+    cfg = TrainConfig(
+        model=spec["model"], d_model=spec["d_model"], d_ff=spec["d_ff"],
+        n_heads=spec["n_heads"], n_layers=spec["n_layers"], loss=spec["loss"],
+        backbone_loss=spec["backbone_loss"], optimizer="adam",
+        lr_scheduling="noam", dropout=0.1, max_seq_len=l, bucket_sizes=(l,),
+        batch_size=b, train_only=True, name=f"ladder{idx}probe",
+        out_dir="/tmp/bench_runs", compute_dtype=dtype)
+    data = make_dataset(n_train=min(b, 64), n_eval=2, min_len=l - 1,
+                        max_len=l, seed=0)
+    trainer = Trainer(cfg, data=data)
+    raw = probe_trainer_batch_size(trainer, length=l, start=max(b, 1),
+                                   keep_fraction=1.0)
+    print(f"MAXB={raw}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="*", default=[1, 3, 4, 5])
@@ -146,6 +182,8 @@ def main():
                     help="override the config's batch size")
     ap.add_argument("--max-batch", action="store_true",
                     help="probe the HBM frontier (-adbs) and bench at 0.8x")
+    ap.add_argument("--probe-only", action="store_true",
+                    help="internal: print MAXB=<raw frontier> and exit")
     ap.add_argument("--dropout", type=float, default=0.1,
                     help="ablation override (step-time decomposition)")
     ap.add_argument("--optimizer", default="adam",
@@ -153,6 +191,10 @@ def main():
     ap.add_argument("--clip", type=float, default=1.0,
                     help="ablation override; 0 disables global-norm clip")
     args = ap.parse_args()
+    if args.probe_only:
+        for idx in args.configs:
+            probe_only(idx, args.dtype)
+        return
     for idx in args.configs:
         print(json.dumps(bench_config(idx, args.steps, args.dtype,
                                       b_override=args.batch,
