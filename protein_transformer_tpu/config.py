@@ -113,7 +113,8 @@ class TrainConfig:
     # routes probs-dropout-free attention (eval/predict, dropout=0
     # training) through the Pallas TPU flash kernel; dropout>0 training
     # always keeps 'xla' (reference dropout-on-probs semantics).
-    # auto = flash on TPU, xla elsewhere.
+    # auto = xla: the kernel measured SLOWER than XLA at L<=500
+    # (tools/bench_attention.py); flash is an explicit opt-in.
     attention_impl: str = "auto"             # auto | xla | flash
     # PRNG implementation for dropout/sampling bits. threefry's per-call
     # key-derivation chains + bit generation cost ~3 ms/step at the flagship

@@ -28,11 +28,15 @@ def parse_conv_kernel_info_from_model_name(mname: str):
 
 
 def resolve_attention_impl(impl: str) -> str:
-    """'auto' -> the Pallas flash kernel on TPU, XLA elsewhere (the
-    kernel is TPU-only; see ops/attention.py for the dispatch rules)."""
+    """'auto' -> 'xla'. Measured on the real chip (tools/
+    bench_attention.py): at this framework's shapes (L <= 500, head dim
+    64-128) the Pallas flash kernel is SLOWER than XLA's fused masked
+    softmax (eval step 0.7x, op-level fwd 0.45x at B=64 L=500) -- the
+    [B,H,L,L] probs it avoids are cheap at these L while its block
+    machinery is not. 'flash' stays available explicitly for
+    long-context experiments; it is TPU-only (ops/attention.py)."""
     if impl == "auto":
-        import jax
-        return "flash" if jax.default_backend() == "tpu" else "xla"
+        return "xla"
     return impl
 
 

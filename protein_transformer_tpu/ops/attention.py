@@ -2,14 +2,21 @@
 
 The reference materializes the full (B, H, L, L) attention-probability
 tensor (models/transformer/Attention.py:24-69), and so does the default
-XLA path in models/transformer.py -- at L=500 those probs plus their
-dropout masks and transposes account for ~0.5-1 ms/step of pure HBM
-traffic (STATUS.md, config-5 roofline), and at large batch they are the
-dominant HBM term. For contexts where no dropout is applied to the
-probabilities (every deterministic/eval/predict call, and training runs
-with --dropout 0) the jax-shipped Pallas TPU flash-attention kernel
-computes the identical masked softmax online in VMEM without ever
-writing the probs to HBM.
+XLA path in models/transformer.py. For contexts where no dropout is
+applied to the probabilities (every deterministic/eval/predict call,
+and training runs with --dropout 0) the jax-shipped Pallas TPU
+flash-attention kernel can compute the identical masked softmax online
+in VMEM without ever writing the probs to HBM.
+
+MEASURED VERDICT (tools/bench_attention.py on the real v5e chip): at
+this framework's shapes -- L <= 500 (MAX_SEQ_LEN cap), head dim 64-128
+-- the kernel LOSES to XLA: op-level fwd 7.6 ms vs 3.4 ms at
+B=64/H=8/L=500/d=128, fwd+bwd 23.0 vs 9.8 ms, full eval step 0.7x at
+both B=4 and B=32. The probs the kernel avoids are cheap at these L,
+while its 128-wide block grid (only 4x4 blocks at L=512) cannot amortize
+its machinery. The default is therefore 'xla' ('auto' resolves to it,
+models/factory.py); 'flash' remains an explicit opt-in for long-context
+experiments, where the crossover lies beyond this framework's L cap.
 
 Scope: key-padding-masked SELF-attention -- the only attention in the
 enc-only and conv-enc families (the enc-dec decoder's causal/cross

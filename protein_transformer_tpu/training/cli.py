@@ -116,10 +116,12 @@ def create_parser() -> argparse.ArgumentParser:
                      default="auto")
     tpu.add_argument("--attention_impl", choices=["auto", "xla", "flash"],
                      default="auto",
-                     help="encoder self-attention: 'flash' uses the Pallas "
-                          "TPU kernel for probs-dropout-free contexts "
-                          "(eval/predict, dropout=0 training); dropout>0 "
-                          "training always keeps 'xla' semantics")
+                     help="encoder self-attention: 'flash' opts into the "
+                          "Pallas TPU kernel for probs-dropout-free "
+                          "contexts (eval/predict, dropout=0 training); "
+                          "measured slower than xla at L<=500, so "
+                          "auto=xla; dropout>0 training always keeps "
+                          "'xla' semantics")
     tpu.add_argument("--profile_dir", type=str, default=None)
     tpu.add_argument("--device_data", choices=["auto", "true", "false"],
                      default="auto")

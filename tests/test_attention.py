@@ -66,6 +66,8 @@ def test_flash_wrapper_matches_masked_softmax(monkeypatch, l):
 
 def test_flash_unavailable_off_tpu():
     assert not A.flash_available()  # suite runs on CPU
+    # 'auto' resolves to xla EVERYWHERE: the kernel measured slower than
+    # XLA at this framework's shapes (see ops/attention.py docstring)
     assert resolve_attention_impl("auto") == "xla"
     assert resolve_attention_impl("flash") == "flash"
     assert resolve_attention_impl("xla") == "xla"

@@ -1,13 +1,13 @@
 #!/usr/bin/env python
 """Flash vs XLA encoder self-attention A/B on the real TPU.
 
-Three levels, each printed as one JSON line:
+Two levels, each printed as one JSON line:
   1. op-level: masked self-attention fwd and fwd+bwd at ladder shapes
-     (numeric max-abs-diff on VALID rows + p50 step time per impl);
+     (numeric max-abs-diff on VALID rows + p50 per impl, dependency-
+     chained paired windows);
   2. eval-step level: the Trainer's full jitted eval step (model fwd +
-     all dRMSD-family metrics) with attention_impl xla vs flash;
-  3. predict level: batched inference throughput via ModelPrediction's
-     forward at the bucket shape.
+     all dRMSD-family metrics) with attention_impl xla vs flash, at the
+     reference B=4 shape and a batched-inference B=32 shape.
 
 Usage: python tools/bench_attention.py [--level op|eval|all]
 """
@@ -32,18 +32,29 @@ SHAPES = [  # (b, h, l, dm)
 ]
 
 
-def _p50(fn, out_probe, n=30):
+def _p50(step, first, k=20, samples=6):
+    """Per-iteration p50 of `step` (state -> state) via paired-window
+    differencing: each call chains on the previous result, so a window of
+    K dispatches executes serially on device; (T_2k - T_k)/k cancels the
+    fixed ~26 ms tunnel sync/ramp cost that would otherwise dominate."""
     import jax
-    for _ in range(3):
-        r = fn()
-    jax.block_until_ready(out_probe(r))
-    ts = []
-    for _ in range(n):
+
+    def window(n):
+        s = first
+        for _ in range(3):
+            s = step(s)
+        jax.block_until_ready(s)
         t0 = time.perf_counter()
-        r = fn()
-        jax.block_until_ready(out_probe(r))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+        for _ in range(n):
+            s = step(s)
+        jax.block_until_ready(s)
+        return time.perf_counter() - t0
+
+    out = []
+    for _ in range(samples):
+        t1, t2 = window(k), window(2 * k)
+        out.append((t2 - t1) / k)
+    return float(np.median(out))
 
 
 def bench_op():
@@ -89,17 +100,17 @@ def bench_op():
         gdiff = float(max(np.max(np.abs(np.asarray(a - b)))
                           for a, b in zip(gx, gf)))
 
+        # chain q through the op so a dispatch window executes serially
         rows.append({
             "level": "op", "b": b, "h": h, "l": l, "dm": dm,
             "fwd_max_abs_diff": diff, "grad_max_abs_diff": gdiff,
-            "xla_fwd_ms": round(_p50(lambda: xla(q, k, v),
-                                     lambda r: r) * 1e3, 3),
-            "flash_fwd_ms": round(_p50(lambda: flash(q, k, v),
-                                       lambda r: r) * 1e3, 3),
-            "xla_fwdbwd_ms": round(_p50(lambda: g_x(q, k, v),
-                                        lambda r: r) * 1e3, 3),
-            "flash_fwdbwd_ms": round(_p50(lambda: g_f(q, k, v),
-                                          lambda r: r) * 1e3, 3),
+            "xla_fwd_ms": round(_p50(lambda s: xla(s, k, v), q) * 1e3, 3),
+            "flash_fwd_ms": round(_p50(lambda s: flash(s, k, v), q) * 1e3,
+                                  3),
+            "xla_fwdbwd_ms": round(_p50(lambda s: g_x(s, k, v)[0], q) * 1e3,
+                                   3),
+            "flash_fwdbwd_ms": round(_p50(lambda s: g_f(s, k, v)[0],
+                                          q) * 1e3, 3),
         })
         print(json.dumps(rows[-1]), flush=True)
     return rows
@@ -132,7 +143,24 @@ def bench_eval_step(b=4, l=500, dm=1024):
         batch = collate(tr.dm.train, np.arange(b), cfg.bucket_sizes,
                         tr.dm.max_seq_len, batch_multiple=tr.dm.batch_multiple)
         bd = shard_batch(batch, tr.mesh)
-        dt = _p50(lambda: step(state.params, bd), lambda r: r)
+
+        # unchained dispatches still execute in order on the device
+        # queue; paired windows cancel the fixed sync cost
+        def window(n):
+            r = step(state.params, bd)
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                r = step(state.params, bd)
+            jax.block_until_ready(r)
+            return time.perf_counter() - t0
+
+        k = 20
+        obs = []
+        for _ in range(6):
+            t1, t2 = window(k), window(2 * k)
+            obs.append((t2 - t1) / k)
+        dt = float(np.median(obs))
         metrics[impl] = dt
         out[f"{impl}_eval_ms"] = round(dt * 1e3, 2)
         del tr
@@ -149,7 +177,8 @@ def main():
     if args.level in ("op", "all"):
         bench_op()
     if args.level in ("eval", "all"):
-        bench_eval_step()
+        bench_eval_step(b=4)
+        bench_eval_step(b=32)
 
 
 if __name__ == "__main__":
