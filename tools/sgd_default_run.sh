@@ -15,7 +15,7 @@ if [ ! -f /tmp/scale_data/train.npz ] && [ ! -d /tmp/scale_data ]; then
   python tools/gen_scale_data.py --out /tmp/scale_data
 fi
 exec python -m protein_transformer_tpu.training.cli \
-  --data /tmp/scale_data --name sgd_default --out_dir "$OUT" \
+  --data /tmp/scale_data --name sgd-default --out_dir "$OUT" \
   -m 'conv-enc|21,11,3|1,1,1' -dm 256 -dih 1024 -nl 6 -nh 8 \
   -l combined -opt sgd --lr_scheduling plateau -lr 1e-4 -cg 1 -b 8 \
   -e 120 -es 25 --patience 10 -c True --seed 11731
